@@ -1,0 +1,177 @@
+package graft.codec
+
+/** FM-index over a byte text: C-table + occurrence ranks + suffix array,
+  * supporting backward-search `count` and `locate`.
+  *
+  * Matches the reference's semantics (/root/reference/src/Data/FMIndex/):
+  *  - C[c] = number of symbols (incl. the sentinel) smaller than c in
+  *    text+sentinel (`seqToCc`, Internal.hs:275-316 — computed there by an
+  *    O(sigma*n) scan of the F column; here by a byte histogram + prefix sum).
+  *  - Occ(c,k) = occurrences of c among the first k BWT symbols (`seqToOccCK`,
+  *    Internal.hs:195-259 — materialized there as a full sigma*n table; here
+  *    checkpointed every 2^blockBits positions + an in-block scan, the
+  *    succinct-rank layout the north star asks for).
+  *  - SA kept whole for `locate` (Internal.hs:169-170; CHANGELOG.md:104-106).
+  *  - count/locate = classic backward search right-to-left
+  *    (Internal.hs:347-542), returning None instead of Just 0 and 1-based,
+  *    row-ordered (unsorted) positions for locate (FMIndex.hs:473-474,496).
+  *
+  * `compat = true` reproduces the reference's quirk of *skipping* pattern
+  * characters absent from the alphabet, leaving the stale range
+  * (Internal.hs:390-391,420-423): e.g. count("zx") == count("x") when 'z'
+  * does not occur. Default is the fixed behavior (absent char -> no match).
+  */
+final class FmIndex private (
+    val bwt: Bwt,
+    val alphabet: Array[Byte], // distinct bytes present, sorted unsigned
+    byteToDense: Array[Int], // 256 -> dense code or -1
+    cTable: Array[Int], // size sigmaReal: # symbols < alphabet(d) (sentinel incl.)
+    symCount: Array[Int], // size sigmaReal: total occurrences
+    ckpt: Array[Int], // (numBlocks x sigmaReal) row-major Occ checkpoints
+    blockBits: Int,
+    val sa: Array[Int] // length n+1, sa(0) == n (sentinel suffix)
+) extends Serializable {
+
+  val n: Int = bwt.data.length
+  private val total = n + 1 // conceptual rows incl. sentinel
+  private def sigmaReal = alphabet.length
+
+  /** Occ(dense code d, k): occurrences of alphabet(d) in BWT[0..k-1]. */
+  def occ(d: Int, k: Int): Int = {
+    val block = k >> blockBits
+    var cnt = ckpt(block * sigmaReal + d)
+    var i = block << blockBits
+    val target = alphabet(d) & 0xFF
+    while (i < k) {
+      if (i != bwt.sentinelPos && bwt.symbolAt(i) == target) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** Backward search; returns the 0-based row range [sp, ep) or None. */
+  def searchRange(pattern: Array[Byte], compat: Boolean = false): Option[(Int, Int)] = {
+    if (pattern.isEmpty || total == 0) return None
+    var sp = 0
+    var ep = total
+    var started = false
+    var i = pattern.length - 1
+    while (i >= 0) {
+      val d = byteToDense(pattern(i) & 0xFF)
+      if (d < 0) {
+        if (!compat) return None
+        // reference skips the char entirely (stale range, counter unchanged)
+      } else {
+        if (!started) {
+          sp = cTable(d)
+          ep = cTable(d) + symCount(d)
+          started = true
+        } else {
+          sp = cTable(d) + occ(d, sp)
+          ep = cTable(d) + occ(d, ep)
+        }
+        if (sp >= ep) return None
+      }
+      i -= 1
+    }
+    if (!started) None else Some((sp, ep))
+  }
+
+  /** Number of occurrences; None when the pattern does not occur (the
+    * reference returns Nothing rather than Just 0, Internal.hs:366-372).
+    */
+  def count(pattern: Array[Byte], compat: Boolean = false): Option[Int] =
+    searchRange(pattern, compat).map { case (sp, ep) => ep - sp }
+
+  /** 1-based start positions in row order (unsorted), like the reference's
+    * `locateFMIndex` + suffixstartpos mapping (FMIndex.hs:496,562).
+    */
+  def locate(pattern: Array[Byte], compat: Boolean = false): Array[Int] =
+    searchRange(pattern, compat) match {
+      case None => Array.emptyIntArray
+      case Some((sp, ep)) =>
+        val out = new Array[Int](ep - sp)
+        var r = sp
+        while (r < ep) { out(r - sp) = sa(r) + 1; r += 1 }
+        out
+    }
+
+  /** C value for a raw byte (for tests against the worked example). */
+  def cOf(b: Byte): Int = {
+    val d = byteToDense(b & 0xFF)
+    require(d >= 0, s"byte $b not in alphabet")
+    cTable(d)
+  }
+}
+
+object FmIndex {
+
+  /** Build from the original text. The reference builds the BWT matrix and
+    * reconstructs the text from its own BWT to get the SA
+    * (FMIndex.hs:143-147,169-173); we build SA once and derive everything
+    * from it.
+    */
+  def build(text: Array[Byte], blockBits: Int = 8): FmIndex = {
+    val n = text.length
+    val sa = SuffixArrays.build(text)
+
+    // BWT from SA
+    val data = new Array[Byte](n)
+    var sentinel = -1
+    var w = 0
+    var i = 0
+    while (i <= n) {
+      val p = sa(i)
+      if (p == 0) sentinel = i
+      else { data(w) = text(p - 1); w += 1 }
+      i += 1
+    }
+    val bwt = Bwt(data, if (n == 0) -1 else sentinel)
+
+    // alphabet + counts
+    val byteCnt = new Array[Int](256)
+    i = 0
+    while (i < n) { byteCnt(text(i) & 0xFF) += 1; i += 1 }
+    var sigmaReal = 0
+    i = 0
+    while (i < 256) { if (byteCnt(i) > 0) sigmaReal += 1; i += 1 }
+    val alphabet = new Array[Byte](sigmaReal)
+    val byteToDense = Array.fill(256)(-1)
+    val cTable = new Array[Int](sigmaReal)
+    val symCount = new Array[Int](sigmaReal)
+    var acc = 1 // sentinel counts as the single smallest symbol
+    var d = 0
+    i = 0
+    while (i < 256) {
+      if (byteCnt(i) > 0) {
+        alphabet(d) = i.toByte
+        byteToDense(i) = d
+        cTable(d) = acc
+        symCount(d) = byteCnt(i)
+        acc += byteCnt(i)
+        d += 1
+      }
+      i += 1
+    }
+
+    // Occ checkpoints every 2^blockBits BWT positions
+    val totalLen = n + 1
+    val numBlocks = (totalLen >> blockBits) + 1
+    val ckpt = new Array[Int](numBlocks * math.max(sigmaReal, 1))
+    val running = new Array[Int](math.max(sigmaReal, 1))
+    // note <=: when totalLen is an exact multiple of the block size the
+    // final checkpoint (used by occ(d, totalLen)) still gets written
+    i = 0
+    while (i <= totalLen) {
+      if ((i & ((1 << blockBits) - 1)) == 0) {
+        System.arraycopy(running, 0, ckpt, (i >> blockBits) * sigmaReal, sigmaReal)
+      }
+      if (i < totalLen && i != bwt.sentinelPos) {
+        running(byteToDense(bwt.symbolAt(i))) += 1
+      }
+      i += 1
+    }
+
+    new FmIndex(bwt, alphabet, byteToDense, cTable, symCount, ckpt, blockBits, sa)
+  }
+}

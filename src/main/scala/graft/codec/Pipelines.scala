@@ -1,0 +1,145 @@
+package graft.codec
+
+/** Composed codec pipelines over one document's bytes, mirroring the
+  * reference's promoted compositions (module docs,
+  * /root/reference/src/Data/RLE.hs:15-22, MTF.hs:17-23: "Users will get the
+  * most mileage by first compressing to a 'BWT'"):
+  *
+  *  - `bwtRle`      = text -> BWT -> RLE            (reference compress path 1)
+  *  - `bwtMtf`      = text -> BWT -> MTF            (reference compress path 2)
+  *  - `bwtMtfRle`   = text -> BWT -> MTF -> RLE     (north-rule high-entropy path)
+  *
+  * Each returns a self-describing byte payload; decode is bit-identical
+  * (`decode(encode(x)) sameElements x`, the QuickCheck-style law).
+  */
+object Pipelines {
+
+  /** BWT -> RLE, engine serialization. */
+  def bwtRleEncode(text: Array[Byte]): Array[Byte] =
+    RleCodec.serialize(RleCodec.encode(BwtCodec.encode(text)))
+
+  def bwtRleDecode(payload: Array[Byte]): Array[Byte] =
+    BwtCodec.decode(RleCodec.decode(RleCodec.deserialize(payload)))
+
+  /** BWT -> MTF, engine serialization. */
+  def bwtMtfEncode(text: Array[Byte]): Array[Byte] =
+    MtfCodec.serialize(MtfCodec.encode(BwtCodec.encode(text)))
+
+  def bwtMtfDecode(payload: Array[Byte]): Array[Byte] =
+    BwtCodec.decode(MtfCodec.decode(MtfCodec.deserialize(payload)))
+
+  /** BWT -> MTF -> RLE over the MTF index stream (runs of equal indices,
+    * dominated by the 0-runs MTF produces on BWT output), varint-coded.
+    *
+    * Layout: varint total, varint alphaLen, alphabet bytes, then
+    * (varint runLen, varint indexValue) pairs.
+    */
+  def bwtMtfRleEncode(text: Array[Byte]): Array[Byte] =
+    mtfRleSerialize(MtfCodec.encode(BwtCodec.encode(text)))
+
+  private def mtfRleSerialize(m: MtfChunk): Array[Byte] = {
+    val buf = new Bytes.Buf(m.indices.length / 4 + m.alphabet.length + 16)
+    buf.writeVarInt(m.indices.length)
+    buf.writeVarInt(m.alphabet.length)
+    buf.writeBytes(m.alphabet)
+    var i = 0
+    val len = m.indices.length
+    while (i < len) {
+      val v = m.indices(i)
+      var j = i + 1
+      while (j < len && m.indices(j) == v) j += 1
+      buf.writeVarInt(j - i)
+      buf.writeVarInt(v)
+      i = j
+    }
+    buf.toArray
+  }
+
+  def bwtMtfRleDecode(payload: Array[Byte]): Array[Byte] = {
+    val rd = new Bytes.Reader(payload)
+    val totalLen = rd.readVarInt()
+    val alphaLen = rd.readVarInt()
+    val alphabet = rd.readBytes(alphaLen)
+    val indices = new Array[Int](totalLen)
+    var w = 0
+    while (w < totalLen) {
+      val run = rd.readVarInt()
+      val v = rd.readVarInt()
+      var c = 0
+      while (c < run) { indices(w) = v; w += 1; c += 1 }
+    }
+    BwtCodec.decode(MtfCodec.decode(MtfChunk(indices, alphabet)))
+  }
+
+  /** Direct RLE over raw bytes, no BWT, no sentinel — the reference's
+    * direct `bytestringToRLEB`-style path (RLE.hs:155-159).
+    * Layout: (varint runLen, byte) pairs.
+    */
+  def rleDirectEncode(bytes: Array[Byte]): Array[Byte] = {
+    val buf = new Bytes.Buf(bytes.length / 2 + 8)
+    buf.writeVarInt(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i)
+      var j = i + 1
+      while (j < bytes.length && bytes(j) == v) j += 1
+      buf.writeVarInt(j - i)
+      buf.writeByte(v & 0xFF)
+      i = j
+    }
+    buf.toArray
+  }
+
+  def rleDirectDecode(payload: Array[Byte]): Array[Byte] = {
+    val rd = new Bytes.Reader(payload)
+    val n = rd.readVarInt()
+    val out = new Array[Byte](n)
+    var w = 0
+    while (w < n) {
+      val run = rd.readVarInt()
+      val v = rd.readByte().toByte
+      var c = 0
+      while (c < run) { out(w) = v; w += 1; c += 1 }
+    }
+    out
+  }
+
+  /** Per-value text encoding: tagged best of {BWT+MTF+RLE, BWT+RLE, raw}.
+    *
+    * BWT+RLE with varint counts is byte-wise <= the reference's ASCII-count
+    * stream pair-for-pair (a varint of any count <= its decimal digit
+    * count), which makes the <=-reference size gate structural; BWT+MTF+RLE
+    * usually wins on web text; raw floors high-entropy inputs.
+    */
+  def textEncode(value: Array[Byte]): Array[Byte] = {
+    val bwt = BwtCodec.encode(value) // one SA build, both candidates reuse it
+    val a = mtfRleSerialize(MtfCodec.encode(bwt))
+    val b = RleCodec.serialize(RleCodec.encode(bwt))
+    val bestTag = if (a.length <= b.length && a.length <= value.length) 0
+      else if (b.length <= value.length) 1
+      else 2
+    val best = bestTag match { case 0 => a; case 1 => b; case _ => value }
+    val out = new Array[Byte](best.length + 1)
+    out(0) = bestTag.toByte
+    System.arraycopy(best, 0, out, 1, best.length)
+    out
+  }
+
+  def textDecode(payload: Array[Byte]): Array[Byte] = {
+    val body = java.util.Arrays.copyOfRange(payload, 1, payload.length)
+    (payload(0): Int) match {
+      case 0 => bwtMtfRleDecode(body)
+      case 1 => BwtCodec.decode(RleCodec.decode(RleCodec.deserialize(body)))
+      case _ => body
+    }
+  }
+
+  /** Reference costing of the canonical compress pipelines for the
+    * ≤-reference size gate (SURVEY.md §2.3). `refRleCost` is the
+    * BWT->RLE ASCII stream; `refMtfCost` the BWT->MTF one.
+    */
+  def referenceCosts(text: Array[Byte]): (Long, Long) = {
+    val b = BwtCodec.encode(text)
+    (ReferenceRle.cost(b), MtfCodec.referenceCost(MtfCodec.encode(b)))
+  }
+}

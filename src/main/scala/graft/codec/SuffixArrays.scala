@@ -1,0 +1,215 @@
+package graft.codec
+
+/** Suffix-array construction.
+  *
+  * Semantics mirror the reference's `createSuffixArray`
+  * (/root/reference/src/Data/BWT/Internal.hs:110-134): all n+1 suffixes of
+  * the input *including the empty suffix*, sorted lexicographically with the
+  * empty suffix (= end-of-string sentinel, smaller than every symbol) ranked
+  * first. The reference materializes every suffix and comparison-sorts them
+  * (O(n^2 log n) worst case); we produce the identical ordering with SA-IS
+  * (Nong, Zhang & Chan 2009 — linear time, byte alphabet), cross-checked in
+  * tests against a naive sort.
+  *
+  * Returned array is 0-based: `sa(r)` = start position of the suffix with
+  * rank r; `sa(0) == n` is always the empty/sentinel suffix. Length n+1.
+  */
+object SuffixArrays {
+
+  /** SA of `t` plus virtual sentinel (smaller than all bytes) at position n. */
+  def build(t: Array[Byte]): Array[Int] = {
+    val n = t.length
+    val s = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { s(i) = (t(i) & 0xFF) + 1; i += 1 }
+    s(n) = 0 // unique smallest sentinel
+    sais(s, 257)
+  }
+
+  /** Naive O(n^2 log n) construction for cross-checking in tests. */
+  def buildNaive(t: Array[Byte]): Array[Int] = {
+    val n = t.length
+    val idx = Array.range(0, n + 1)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(
+      boxed,
+      new java.util.Comparator[Integer] {
+        def compare(a: Integer, b: Integer): Int = compareSuffix(t, a, b)
+      }
+    )
+    boxed.map(_.intValue())
+  }
+
+  private def compareSuffix(t: Array[Byte], a: Int, b: Int): Int = {
+    var i = a
+    var j = b
+    val n = t.length
+    while (i < n && j < n) {
+      val d = (t(i) & 0xFF) - (t(j) & 0xFF)
+      if (d != 0) return d
+      i += 1; j += 1
+    }
+    // shorter suffix (reaches sentinel first) sorts first
+    (n - i) - (n - j)
+  }
+
+  /** Core SA-IS over an int string whose last element is the unique smallest
+    * symbol (0). Values in [0, k). Returns the full suffix array.
+    */
+  def sais(s: Array[Int], k: Int): Array[Int] = {
+    val n = s.length
+    val sa = new Array[Int](n)
+    if (n == 0) return sa
+    if (n == 1) { sa(0) = 0; return sa }
+    if (n == 2) { sa(0) = 1; sa(1) = 0; return sa } // s(1)==0 is sentinel
+
+    // type flags: true = S-type
+    val isS = new Array[Boolean](n)
+    isS(n - 1) = true
+    var i = n - 2
+    while (i >= 0) {
+      isS(i) = s(i) < s(i + 1) || (s(i) == s(i + 1) && isS(i + 1))
+      i -= 1
+    }
+    @inline def isLms(p: Int): Boolean = p > 0 && isS(p) && !isS(p - 1)
+
+    val bktSize = new Array[Int](k)
+    i = 0
+    while (i < n) { bktSize(s(i)) += 1; i += 1 }
+
+    def bucketStarts(b: Array[Int]): Unit = {
+      var sum = 0; var c = 0
+      while (c < k) { b(c) = sum; sum += bktSize(c); c += 1 }
+    }
+    def bucketEnds(b: Array[Int]): Unit = {
+      var sum = 0; var c = 0
+      while (c < k) { sum += bktSize(c); b(c) = sum; c += 1 }
+    }
+
+    val bkt = new Array[Int](k)
+
+    /** Seed SA with the given LMS positions (in the order provided, inserted
+      * from bucket ends backwards), then induce L then S.
+      */
+    def induce(lms: Array[Int], m: Int): Unit = {
+      java.util.Arrays.fill(sa, -1)
+      bucketEnds(bkt)
+      var j = m - 1
+      while (j >= 0) {
+        val p = lms(j)
+        bkt(s(p)) -= 1
+        sa(bkt(s(p))) = p
+        j -= 1
+      }
+      bucketStarts(bkt)
+      var q = 0
+      while (q < n) {
+        val p = sa(q)
+        if (p > 0 && !isS(p - 1)) {
+          sa(bkt(s(p - 1))) = p - 1
+          bkt(s(p - 1)) += 1
+        }
+        q += 1
+      }
+      bucketEnds(bkt)
+      q = n - 1
+      while (q >= 0) {
+        val p = sa(q)
+        if (p > 0 && isS(p - 1)) {
+          bkt(s(p - 1)) -= 1
+          sa(bkt(s(p - 1))) = p - 1
+        }
+        q -= 1
+      }
+    }
+
+    // collect LMS positions in text order
+    var m = 0
+    i = 1
+    while (i < n) { if (isLms(i)) m += 1; i += 1 }
+    val lmsPos = new Array[Int](m)
+    var w = 0
+    i = 1
+    while (i < n) { if (isLms(i)) { lmsPos(w) = i; w += 1 }; i += 1 }
+
+    if (m == 0) { induce(lmsPos, 0); return sa }
+
+    induce(lmsPos, m)
+
+    // extract LMS suffixes in current (LMS-substring-sorted) order
+    val sortedLms = new Array[Int](m)
+    w = 0
+    i = 0
+    while (i < n) {
+      val p = sa(i)
+      if (p > 0 && isLms(p)) { sortedLms(w) = p; w += 1 }
+      i += 1
+    }
+
+    // name LMS substrings
+    val name = new Array[Int](n) // name by start position (sparse)
+    java.util.Arrays.fill(name, -1)
+    var curName = 0
+    name(sortedLms(0)) = 0
+    var prev = sortedLms(0)
+    var j = 1
+    while (j < m) {
+      val cur = sortedLms(j)
+      if (!lmsSubstringEq(s, isS, prev, cur, n)) curName += 1
+      name(cur) = curName
+      prev = cur
+      j += 1
+    }
+    val numNames = curName + 1
+
+    val orderedLms =
+      if (numNames == m) {
+        sortedLms
+      } else {
+        // recurse on the reduced string of LMS-substring names
+        val s1 = new Array[Int](m)
+        w = 0
+        i = 1
+        while (i < n) {
+          if (isLms(i)) { s1(w) = name(i); w += 1 }
+          i += 1
+        }
+        val sa1 = sais(s1, numNames)
+        val out = new Array[Int](m)
+        j = 0
+        while (j < m) { out(j) = lmsPos(sa1(j)); j += 1 }
+        out
+      }
+
+    induce(orderedLms, m)
+    sa
+  }
+
+  /** Compare two LMS substrings (from start to next LMS position inclusive)
+    * for exact equality of symbols and types.
+    */
+  private def lmsSubstringEq(
+      s: Array[Int],
+      isS: Array[Boolean],
+      a0: Int,
+      b0: Int,
+      n: Int
+  ): Boolean = {
+    if (a0 == b0) return true
+    var a = a0
+    var b = b0
+    var first = true
+    while (true) {
+      if (s(a) != s(b) || isS(a) != isS(b)) return false
+      if (!first) {
+        val aLms = a > 0 && isS(a) && !isS(a - 1)
+        val bLms = b > 0 && isS(b) && !isS(b - 1)
+        if (aLms || bLms) return aLms && bLms
+      }
+      if (a == n - 1 || b == n - 1) return a == b // sentinel suffix is unique
+      a += 1; b += 1
+      first = false
+    }
+    false
+  }
+}
