@@ -1,13 +1,346 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.codec._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.spark.{EncodeConfig, EncodeJob, PagesGen, SearchJob, VerifyJob}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-runnable oracle where the semantics are
+  * SQL-expressible; `entry` is the flagship end-to-end encode+verify.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------- helpers
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def docsKT(s: SparkSession, dir: String): Dataset[(Long, String)] = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+  }
+
+  /** Generic per-doc roundtrip query: decode(encode(text)) as text_rt. */
+  private def roundtripQuery(
+      s: SparkSession,
+      dir: String
+  )(enc: Array[Byte] => Array[Byte], dec: Array[Byte] => Array[Byte]): DataFrame = {
+    import s.implicits._
+    docsKT(s, dir).mapPartitions { it =>
+      it.map { case (id, text) =>
+        (id, new String(dec(enc(text.getBytes(UTF_8))), UTF_8))
+      }
+    }.toDF("doc_id", "text_rt")
+  }
+
+  private val identityTextOracle =
+    "SELECT doc_id, text AS text_rt FROM documents"
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship on sf0.001: synthesize the north-rule pages table, run the
+    * full encode -> lineage -> decode -> bit-identical verify loop, and
+    * return the per-partition lineage metrics (driver smoke-checks rows>0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val outDir = "/root/repo/target/entry_encode"
+    deleteDir(outDir)
+    val pages = PagesGen.generate(spark, 300, hostSkew = true, partitions = 8)
+    EncodeJob.run(spark, pages, outDir, EncodeConfig(numPartitions = 8, chunkRows = 128))
+    val report = VerifyJob.run(spark, pages, outDir)
+    require(report.mismatched_rows == 0 && report.except_violations == 0,
+      s"bit-identical gate failed: $report")
+    spark.read.parquet(EncodeJob.lineagePath(outDir))
+  }
+
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rec(f)
+  }
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core codec transforms (SURVEY.md §2.1), each the full operator
+    "q01_bwt_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(
+        t => BwtCodec.encode(t) match { case b => serializeBwt(b) },
+        p => BwtCodec.decode(deserializeBwt(p))
+      )),
+    "q02_rle_direct_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(Pipelines.rleDirectEncode, Pipelines.rleDirectDecode)),
+    "q03_bwt_rle_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(Pipelines.bwtRleEncode, Pipelines.bwtRleDecode)),
+    "q04_bwt_mtf_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(Pipelines.bwtMtfEncode, Pipelines.bwtMtfDecode)),
+    "q05_bwt_mtf_rle_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(Pipelines.bwtMtfRleEncode, Pipelines.bwtMtfRleDecode)),
+
+    // --- FM-index search (count + locate), vs exact SQL character math
+    "q06_fm_count" -> { (s, dir) =>
+      import s.implicits._
+      docsKT(s, dir).mapPartitions { it =>
+        it.map { case (id, text) =>
+          val fm = FmIndex.build(text.getBytes(UTF_8))
+          (id,
+            fm.count("e".getBytes(UTF_8)).getOrElse(0).toLong,
+            fm.count("en".getBytes(UTF_8)).getOrElse(0).toLong)
+        }
+      }.toDF("doc_id", "cnt_e", "cnt_en")
+    },
+    "q07_fm_locate_first" -> { (s, dir) =>
+      import s.implicits._
+      docsKT(s, dir).mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val fm = FmIndex.build(raw)
+          val locs = fm.locate("en".getBytes(UTF_8))
+          val pos: Option[Long] =
+            if (locs.isEmpty) None
+            else {
+              val byteFirst = locs.min // 1-based byte pos -> char pos
+              Some(new String(raw, 0, byteFirst - 1, UTF_8).length + 1L)
+            }
+          (id, pos)
+        }
+      }.toDF("doc_id", "pos")
+    },
+
+    // --- lightweight column codecs over chunks (north-rule set)
+    "q08_dict_lang_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id", $"lang").as[(Long, String)]
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val payload = ColumnCodec.encodeDict(rows.map(_._2.getBytes(UTF_8)))
+          val decoded = ColumnCodec.decodeBinary(payload)
+          rows.iterator.zip(decoded.iterator).map { case ((id, _), d) =>
+            (id, new String(d, UTF_8))
+          }
+        }.toDF("doc_id", "lang_rt")
+    },
+    "q09_fsst_text_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      docsKT(s, dir).mapPartitions { it =>
+        val rows = it.toArray
+        val payload = ColumnCodec.encodeFsst(rows.map(_._2.getBytes(UTF_8)))
+        val decoded = ColumnCodec.decodeBinary(payload)
+        rows.iterator.zip(decoded.iterator).map { case ((id, _), d) =>
+          (id, new String(d, UTF_8))
+        }
+      }.toDF("doc_id", "text_rt")
+    },
+    "q10_for_bitpack_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select($"doc_id", $"n_chars").as[(Long, Long)]
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val payload = ColumnCodec.encodeLong(rows.map(_._2))
+          val decoded = ColumnCodec.decodeLong(payload)
+          rows.iterator.zip(decoded.iterator).map { case ((id, _), v) => (id, v) }
+        }.toDF("doc_id", "n_chars_rt")
+    },
+    "q11_delta_ts_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val rows = it.toArray.sortBy(_._1) // sorted -> delta codec eligible
+          val payload = ColumnCodec.encodeLong(rows.map(_._2))
+          val decoded = ColumnCodec.decodeLong(payload)
+          rows.iterator.zip(decoded.iterator).map { case ((id, _), v) => (id, v) }
+        }.toDF("event_id", "ts_us_rt")
+    },
+
+    // --- the <=-reference size gate as a per-document predicate
+    "q12_size_gate" -> { (s, dir) =>
+      import s.implicits._
+      docsKT(s, dir).mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val enc = Pipelines.textEncode(raw)
+          val (refRle, refMtf) = Pipelines.referenceCosts(raw)
+          val ok = enc.length <= math.min(refRle, refMtf) &&
+            java.util.Arrays.equals(Pipelines.textDecode(enc), raw)
+          (id, ok)
+        }
+      }.toDF("doc_id", "ok")
+    },
+
+    // --- relational oracles of the kernels (window/agg SQL parity)
+    "q13_rle_runs_lang" -> { (s, dir) =>
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT run_id, lang, COUNT(*) AS run_len FROM (
+          |  SELECT doc_id, lang,
+          |         CAST(SUM(chg) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+          |  FROM (SELECT doc_id, lang,
+          |               CASE WHEN lag(lang) OVER (ORDER BY doc_id) IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg
+          |        FROM documents)
+          |) GROUP BY run_id, lang""".stripMargin)
+    },
+    "q14_ctable_lang" -> { (s, dir) =>
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang, cnt,
+          |       CAST(COALESCE(SUM(cnt) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_before
+          |FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)""".stripMargin)
+    },
+    "q15_occ_running" -> { (s, dir) =>
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+          |            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS occ_en
+          |FROM documents""".stripMargin)
+    },
+
+    // --- training-data pipeline: dedup / similarity / text analysis
+    "q16_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+    },
+    "q17_quality" -> { (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_commas"), col("n_digits"), col("is_short"))
+    },
+    "q18_lineitem_agg" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("sum_qty"))
+    },
+    "q19_ann_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      Similarity.bruteForceTopK(s, vecs, Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+    },
+    "q20_minhash_pairs" -> { (s, dir) =>
+      Dedup.minHashPairs(s, docsKT(s, dir), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "q21_simhash_pairs" -> { (s, dir) =>
+      Dedup.simHashPairs(s, docsKT(s, dir), maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "q22_ngram_jaccard" -> { (s, dir) =>
+      val cands = Dedup.minHashPairs(s, docsKT(s, dir), threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramJaccard(s, docsKT(s, dir), cands).orderBy(col("id_a"), col("id_b"))
+    },
+    "q23_lang_id" -> { (s, dir) =>
+      TextAnalysis.languageId(s, docsKT(s, dir))
+    },
+    "q24_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprints(s, docsKT(s, dir))
+    },
+    "q25_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      Similarity.lshTopK(s, vecs, Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long"), col("cos"))
+    },
+
+    // --- distributed FM search over the whole corpus (SearchJob surface)
+    "q26_fm_search_multi" -> { (s, dir) =>
+      import s.implicits._
+      val d = docsKT(s, dir).map { case (id, t) => (id.toString, t) }
+      SearchJob.run(s, d, Seq("data", "the", "2022"))
+        .select(col("doc_key").cast("long").as("doc_id"), col("pattern"),
+          col("cnt"), col("first_pos"))
+    }
+  )
+
+  // Bwt payload helper for q01 (sentinelPos + data)
+  private def serializeBwt(b: Bwt): Array[Byte] = {
+    val buf = new Bytes.Buf(b.data.length + 5)
+    buf.writeVarInt(b.sentinelPos + 1)
+    buf.writeBytes(b.data)
+    buf.toArray
+  }
+  private def deserializeBwt(p: Array[Byte]): Bwt = {
+    val rd = new Bytes.Reader(p)
+    val sentinel = rd.readVarInt() - 1
+    Bwt(rd.readBytes(rd.remaining), sentinel)
+  }
+
+  // -------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_bwt_roundtrip" -> identityTextOracle,
+    "q02_rle_direct_roundtrip" -> identityTextOracle,
+    "q03_bwt_rle_roundtrip" -> identityTextOracle,
+    "q04_bwt_mtf_roundtrip" -> identityTextOracle,
+    "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,
+    "q06_fm_count" ->
+      """SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS cnt_e,
+        |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en
+        |FROM documents""".stripMargin,
+    "q07_fm_locate_first" ->
+      """SELECT doc_id,
+        |       CASE WHEN strpos(text, 'en') > 0 THEN CAST(strpos(text, 'en') AS BIGINT) END AS pos
+        |FROM documents""".stripMargin,
+    "q08_dict_lang_roundtrip" -> "SELECT doc_id, lang AS lang_rt FROM documents",
+    "q09_fsst_text_roundtrip" -> "SELECT doc_id, text AS text_rt FROM documents",
+    "q10_for_bitpack_roundtrip" -> "SELECT doc_id, n_chars AS n_chars_rt FROM documents",
+    "q11_delta_ts_roundtrip" ->
+      "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us_rt FROM events",
+    "q12_size_gate" -> "SELECT doc_id, TRUE AS ok FROM documents",
+    "q13_rle_runs_lang" ->
+      """SELECT run_id, lang, COUNT(*) AS run_len FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(SUM(chg) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM (SELECT doc_id, lang,
+        |               CASE WHEN lag(lang) OVER (ORDER BY doc_id) IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg
+        |        FROM documents)
+        |) GROUP BY run_id, lang""".stripMargin,
+    "q14_ctable_lang" ->
+      """SELECT lang, cnt,
+        |       CAST(COALESCE(SUM(cnt) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_before
+        |FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)""".stripMargin,
+    "q15_occ_running" ->
+      """SELECT doc_id,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |            OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS occ_en
+        |FROM documents""".stripMargin,
+    "q16_dedup_exact" ->
+      "SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
+    "q17_quality" ->
+      """SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |       CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas,
+        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |       length(text) < 200 AS is_short
+        |FROM documents""".stripMargin,
+    "q18_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_ann_cosine" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin
+    // q20-q26: not SQL-expressible (LSH banding, simhash, heuristic langid,
+    // fingerprints, distributed FM search) -> driver rows-only check
+  )
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language id,
+  * quality scoring, token counting, document fingerprinting. Quality and
+  * token counts are pure Catalyst column expressions (codegen'd, pushdown-
+  * friendly); languge id and fingerprints are narrow typed maps.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count as a Column (matches the SQL-oracle formula:
+    * chars minus non-space chars + 1; robust only for single-space-
+    * separated text, which both sides compute identically anyway).
+    */
+  def tokenCountCol(text: org.apache.spark.sql.Column) =
+    (length(text) - length(regexp_replace(text, " ", "")) + lit(1)).cast("long")
+
+  /** Quality features, all integer/exact so a SQL oracle can reproduce
+    * them bit-for-bit.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCountCol(t))
+      .withColumn("n_commas", (length(t) - length(regexp_replace(t, ",", ""))).cast("long"))
+      .withColumn("n_digits", (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long"))
+      .withColumn("is_short", length(t) < 200)
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " von ", " das ", " mit "),
+    "en" -> Seq(" the ", " of ", " and ", " was ", " for ", " that "),
+    "es" -> Seq(" el ", " los ", " las ", " una ", " por ", " para "),
+    "fr" -> Seq(" le ", " les ", " des ", " une ", " est ", " dans "),
+    "zh" -> Seq("的", "是", "了", "我", "他", "这")
+  )
+
+  /** N-gram/stopword-marker language id. Deterministic argmax with
+    * alphabetical tie-break. Returns (key, guess).
+    */
+  def languageId(spark: SparkSession, docs: Dataset[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.map { case (id, text) =>
+      val padded = " " + text + " "
+      var bestLang = "und"
+      var bestScore = 0
+      Markers.foreach { case (lang, marks) =>
+        var score = 0
+        marks.foreach { m =>
+          var idx = padded.indexOf(m)
+          while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
+        }
+        if (score > bestScore) { bestScore = score; bestLang = lang }
+      }
+      (id, bestLang)
+    }.toDF("doc_id", "lang_guess")
+  }
+
+  /** Karp-Rabin style rolling polynomial fingerprint of the UTF-8 bytes,
+    * mod 2^61-1 — a deterministic whole-document content id.
+    */
+  def fingerprint(text: String): Long = {
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    var h = 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      // h = (h * B + byte) mod M, with 128-bit intermediate via Math.multiplyHigh
+      val lo = h * B
+      val hi = Math.multiplyHigh(h, B)
+      // fold 2^64 ≡ 8 (mod 2^61-1): (hi * 8 + lo) mod M
+      var folded = (lo & M) + ((lo >>> 61) | (hi << 3)) + (bytes(i) & 0xFFL)
+      while (folded >= M) folded -= M
+      h = folded
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(spark: SparkSession, docs: Dataset[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.map { case (id, t) => (id, fingerprint(t)) }.toDF("doc_id", "fp")
+  }
+}

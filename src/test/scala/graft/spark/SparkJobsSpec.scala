@@ -1,0 +1,143 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets.UTF_8
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class SparkJobsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("pages generator is deterministic and schema-exact") {
+    val p1 = PagesGen.page(42L, 7L, 100, hostSkew = false)
+    val p2 = PagesGen.page(42L, 7L, 100, hostSkew = false)
+    assert(p1.url == p2.url && p1.text == p2.text && p1.lang == p2.lang)
+    assert(java.util.Arrays.equals(p1.html, p2.html))
+    assert(p1.warc_ts == p2.warc_ts)
+    val df = PagesGen.generate(spark, 50, partitions = 4).toDF()
+    assert(df.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
+    assert(df.count() == 50)
+  }
+
+  test("encode -> decode -> verify: bit-identical and size gate") {
+    val out = tmpDir("roundtrip")
+    val pages = PagesGen.generate(spark, 200, partitions = 4)
+    EncodeJob.run(spark, pages, out, EncodeConfig(numPartitions = 4, chunkRows = 64))
+    val report = VerifyJob.run(spark, pages, out)
+    assert(report.rows_source == 200)
+    assert(report.rows_decoded == 200)
+    assert(report.mismatched_rows == 0, report)
+    assert(report.except_violations == 0, report)
+    assert(report.size_gate_ok, report)
+  }
+
+  test("resume: completed partitions are skipped; missing ones re-encoded idempotently") {
+    import spark.implicits._
+    val out = tmpDir("resume")
+    val pages = PagesGen.generate(spark, 150, partitions = 4)
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 64)
+
+    EncodeJob.run(spark, pages, out, cfg)
+    val lineage1 = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect().sortBy(_.part_id)
+
+    // a second run with everything done must be a no-op
+    EncodeJob.run(spark, pages, out, cfg)
+    val lineage2 = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect().sortBy(_.part_id)
+    assert(lineage2.length == lineage1.length, "no-op rerun must not add lineage")
+
+    // simulate a lost partition: drop one part's lineage (as if its attempt
+    // died before checkpointing) — rerun must re-encode exactly that part
+    val victim = lineage1.head.part_id
+    val kept = lineage1.filterNot(_.part_id == victim)
+    val lineageDir = new java.io.File(EncodeJob.lineagePath(out))
+    lineageDir.listFiles().foreach(_.delete())
+    spark.createDataset(kept.toIndexedSeq).write.mode("overwrite")
+      .parquet(EncodeJob.lineagePath(out))
+
+    EncodeJob.run(spark, pages, out, cfg)
+    val lineage3 = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect().sortBy(_.part_id)
+    assert(lineage3.map(_.part_id).toSeq == lineage1.map(_.part_id).toSeq)
+    // re-encoded partition is byte-identical to the original attempt
+    val h1 = lineage1.find(_.part_id == victim).get.payload_hash
+    val h3 = lineage3.find(_.part_id == victim).get.payload_hash
+    assert(h1 == h3, "re-encode must be deterministic/idempotent")
+    // untouched partitions keep their hashes too
+    kept.foreach { r =>
+      assert(lineage3.find(_.part_id == r.part_id).get.payload_hash == r.payload_hash)
+    }
+    // and the data is still fully decodable + identical
+    val report = VerifyJob.run(spark, pages, out)
+    assert(report.mismatched_rows == 0 && report.except_violations == 0)
+  }
+
+  test("salting spreads skewed url-hosts across partitions") {
+    import org.apache.spark.sql.functions._
+    val skewed = PagesGen.generate(spark, 2000, hostSkew = true, partitions = 4)
+    def maxPartFraction(saltFactor: Int): Double = {
+      val counts = skewed
+        .withColumn("part_id", EncodeJob.partIdCol(EncodeConfig(numPartitions = 16, saltFactor = saltFactor)))
+        .groupBy("part_id").count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val unsalted = maxPartFraction(1)
+    val salted = maxPartFraction(8)
+    assert(salted < unsalted,
+      s"salting should flatten the skew: salted=$salted unsalted=$unsalted")
+    // uniform would be 1/16 ≈ 0.0625; unsalted skew puts ~80% of rows on
+    // ≤5 of 16 partitions (max ≥ ~0.16 guaranteed, often ~0.3). Allow for
+    // bucket-collision variance on the salted side.
+    assert(salted <= 0.20, s"salted max partition fraction too high: $salted")
+  }
+
+  test("distributed FM search matches naive counting") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "abracadabra abracadabra"),
+      ("d2", "the quick brown fox"),
+      ("d3", "aaaaaa")
+    ).toDS()
+    val hits = SearchJob.run(spark, docs, Seq("abra", "a", "fox", "zz"))
+      .collect().map(h => (h.doc_key, h.pattern) -> h).toMap
+    assert(hits(("d1", "abra")).cnt == 4)
+    assert(hits(("d1", "abra")).first_pos == Some(1L))
+    assert(hits(("d2", "fox")).cnt == 1)
+    assert(hits(("d2", "fox")).first_pos == Some(17L))
+    assert(hits(("d3", "a")).cnt == 6)
+    assert(hits(("d2", "zz")).cnt == 0)
+    assert(hits(("d2", "zz")).first_pos == None)
+  }
+
+  test("decodeColumn provides the column-pruned read path") {
+    import spark.implicits._
+    val out = tmpDir("colprune")
+    val pages = PagesGen.generate(spark, 80, partitions = 2)
+    EncodeJob.run(spark, pages, out, EncodeConfig(numPartitions = 2, chunkRows = 32))
+    val langs = DecodeJob.decodeColumn(spark, out, "lang")
+      .map { case (_, _, _, v) => new String(v, UTF_8) }
+      .collect().sorted
+    val expected = pages.collect().map(_.lang).sorted
+    assert(langs.toSeq == expected.toSeq)
+  }
+}
