@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // this sandbox is a Firecracker VM with lazily-faulted memory: pre-touch
+  // the heap at JVM start so host-side page faults don't serialize the
+  // measured (multi-threaded) region
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_GC").map(g => s"-XX:+$g").toSeq

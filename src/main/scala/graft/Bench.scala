@@ -1,24 +1,146 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Per-round benchmark: headline workloads on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. `value` is total seconds; extra keys report encode
+  * throughput (the north-star metric) and compression ratios.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Headline workloads. Each returns (bytesProcessed, rowsProcessed). */
+  def workloads(sfDir: String): Seq[(String, SparkSession => (Long, Long))] = Seq(
+    // north-star: full pages encode (synthesized at a size matched to the
+    // harness SF so the number is stable per round)
+    "encode_pages" -> { s =>
+      val n = pagesFor(sfDir)
+      val out = benchDir("encode_pages")
+      deleteDir(out)
+      val pages = graft.spark.PagesGen.generate(s, n, hostSkew = true,
+        partitions = s.sparkContext.defaultParallelism)
+      graft.spark.EncodeJob.run(s, pages, out,
+        graft.spark.EncodeConfig(numPartitions = s.sparkContext.defaultParallelism * 2))
+      import org.apache.spark.sql.functions._
+      val row = s.read.parquet(graft.spark.EncodeJob.lineagePath(out))
+        .agg(sum("bytes_in"), sum("bytes_out"), sum("n_rows")).first()
+      (row.getLong(0), row.getLong(2))
+    },
+    "decode_pages" -> { s =>
+      val out = benchDir("encode_pages") // decode what encode_pages wrote
+      val decoded = graft.spark.DecodeJob.run(s, out)
+      import org.apache.spark.sql.functions._
+      val row = decoded.toDF()
+        .agg(sum(length(col("text")) + length(col("html"))), count(col("*"))).first()
+      (row.getLong(0), row.getLong(1))
+    },
+    "text_encode_docs" -> { s =>
+      import s.implicits._
+      val r = s.read.parquet(s"$sfDir/documents.parquet")
+        .select($"text").as[String]
+        .mapPartitions { it =>
+          var bytes = 0L
+          var rows = 0L
+          it.foreach { t =>
+            val raw = t.getBytes(UTF_8)
+            val enc = graft.codec.Pipelines.textEncode(raw)
+            if (enc.length > 0) { bytes += raw.length; rows += 1 }
+          }
+          Iterator.single((bytes, rows))
+        }.collect()
+      (r.map(_._1).sum, r.map(_._2).sum)
+    },
+    "fm_search" -> { s =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id".cast("string"), $"text").as[(String, String)]
+      val hits = graft.spark.SearchJob.run(s, docs, Seq("data", "the", "2022", "page"))
+      val n = hits.count()
+      val bytes = s.read.parquet(s"$sfDir/documents.parquet")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))))
+        .first().getLong(0)
+      (bytes, n)
+    },
+    "dedup_minhash" -> { s =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)]
+      val pairs = graft.pipeline.Dedup.minHashPairs(s, docs, threshold = 0.3)
+      (pairs.count(), 0L)
+    },
+    "ann_brute" -> { s =>
+      import s.implicits._
+      val vecs = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val res = graft.pipeline.Similarity.bruteForceTopK(s, vecs, (0L until 20L), 10)
+      (res.count(), 0L)
+    }
+  )
+
+  def pagesFor(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 40000L
+    else if (sfDir.contains("sf0.01")) 8000L
+    else 2000L
+
+  private def benchDir(name: String): String =
+    s"/root/repo/target/bench/$name"
+
+  def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rec(f)
+  }
+
+  def newSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // shuffle to RAM: on a real cluster the shuffle fabric (NVMe / remote
+      // shuffle service) scales with executor count; the sandbox's single
+      // local disk does not, so leaving shuffle on it would mis-measure the
+      // N-vs-4N comparison
+      .config("spark.local.dir", "/dev/shm/graft_spark_local")
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = newSession(cpus)
+
+    // one warmup pass at tiny scale to get JIT + codegen out of the numbers
+    workloads("/root/testdata/sf0.001").foreach { case (_, fn) =>
+      try fn(spark) catch { case _: Throwable => }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = workloads(sfDir).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val (bytes, rows) = try fn(spark) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1L, -1L)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, bytes, rows)
+    }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, _, _) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val encSec = results.find(_._1 == "encode_pages").map(_._2).getOrElse(0.0)
+    val encBytes = results.find(_._1 == "encode_pages").map(_._3).getOrElse(0L)
+    val gbps = if (encSec > 0) encBytes / 1e9 / encSec else 0.0
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","encode_gb_per_sec":${f"$gbps%.4f"},"encode_bytes":$encBytes,"cpus":$cpus}"""
+    )
     spark.stop()
   }
 }

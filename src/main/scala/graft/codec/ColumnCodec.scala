@@ -73,8 +73,22 @@ object ColumnCodec {
     if (!distinctOver && distinct.size.toLong * (avgLen + 4) < totalBytes / 2)
       candidates += encodeDict(values)
     if (runs <= n / 4) candidates += encodeRleValues(values)
-    if (avgLen >= 512) candidates += encodeBwtValues(values)
-    else if (totalBytes >= 64) candidates += encodeFsst(values)
+    if (avgLen >= 512) {
+      // long text/html: decide FSST vs BWT on a small sample so the chunk
+      // is encoded exactly once — at 100 TB we cannot encode-both-pick-min
+      var sampleBytes = 0L
+      var sampleN = 0
+      while (sampleN < n && sampleN < 4 && sampleBytes < 65536) {
+        sampleBytes += values(sampleN).length; sampleN += 1
+      }
+      val sample = values.take(sampleN)
+      val bwtSize = sample.map(v => Pipelines.textEncode(v).length.toLong).sum
+      val fsstTable = Fsst.buildTable(sample)
+      val fsstBuf = new Bytes.Buf()
+      sample.foreach(v => Fsst.encodeValue(fsstTable, v, fsstBuf))
+      val fsstSize = fsstBuf.size.toLong + Fsst.serializeTable(fsstTable).length
+      candidates += (if (bwtSize <= fsstSize) encodeBwtValues(values) else encodeFsst(values))
+    } else if (totalBytes >= 64) candidates += encodeFsst(values)
     candidates += encodeRawBin(values)
     candidates.minBy(_.length)
   }

@@ -33,9 +33,12 @@ object Fsst {
     }
   }
 
-  /** Deterministic table build from sampled values. */
+  /** Deterministic table build from sampled values. Grams of length 2..4
+    * are packed into a primitive Long key (`len << 32 | bytes`), counted in
+    * a LongMap — no boxing on the hot path.
+    */
   def buildTable(values: Array[Array[Byte]]): Table = {
-    val freq = mutable.HashMap.empty[Seq[Byte], Int]
+    val freq = new mutable.LongMap[Int](1 << 14)
     var sampled = 0
     var vi = 0
     while (vi < values.length && sampled < SampleCap) {
@@ -43,32 +46,42 @@ object Fsst {
       val lim = math.min(v.length, SampleCap - sampled)
       var i = 0
       while (i < lim) {
-        var len = 2
-        while (len <= 4 && i + len <= lim) {
-          val g = v.slice(i, i + len).toSeq
-          freq.update(g, freq.getOrElse(g, 0) + 1)
+        var packed = 0L
+        var len = 0
+        val maxLen = math.min(4, lim - i)
+        while (len < maxLen) {
+          packed = (packed << 8) | (v(i + len) & 0xFFL)
           len += 1
+          if (len >= 2) {
+            val key = (len.toLong << 32 << 8) | packed
+            freq.update(key, freq.getOrElse(key, 0) + 1)
+          }
         }
         i += 1
       }
       sampled += lim
       vi += 1
     }
-    // gain = (len-1) * freq; deterministic tie-break on the gram bytes
-    val picked = freq.toArray
-      .map { case (g, f) => (g, (g.length - 1).toLong * f) }
-      .filter(_._2 >= 4)
-      .sortWith { case ((g1, s1), (g2, s2)) =>
-        if (s1 != s2) s1 > s2
-        else {
-          val a = g1.iterator.map(_ & 0xFF).toSeq
-          val b = g2.iterator.map(_ & 0xFF).toSeq
-          import scala.math.Ordering.Implicits._
-          a < b
-        }
+    // gain = (len-1) * freq, must beat the table-entry cost; deterministic
+    // tie-break on the packed gram key
+    val picked = freq.iterator
+      .map { case (key, f) =>
+        val len = (key >>> 40).toInt
+        (key, (len - 1).toLong * f)
+      }
+      .filter { case (key, gain) => gain >= ((key >>> 40) + 2) } // entry cost
+      .toArray
+      .sortWith { case ((k1, s1), (k2, s2)) =>
+        if (s1 != s2) s1 > s2 else k1 < k2
       }
       .take(MaxSymbols)
-      .map(_._1.toArray)
+      .map { case (key, _) =>
+        val len = (key >>> 40).toInt
+        val g = new Array[Byte](len)
+        var j = 0
+        while (j < len) { g(j) = ((key >>> ((len - 1 - j) * 8)) & 0xFF).toByte; j += 1 }
+        g
+      }
     Table(picked)
   }
 

@@ -13,6 +13,10 @@ package graft.codec
   *
   * Returned array is 0-based: `sa(r)` = start position of the suffix with
   * rank r; `sa(0) == n` is always the empty/sentinel suffix. Length n+1.
+  *
+  * Implementation note: hot loops are flat (no nested closures capturing
+  * mutable state) so C2 can keep everything in registers; type flags and
+  * buckets are primitive arrays.
   */
 object SuffixArrays {
 
@@ -68,73 +72,29 @@ object SuffixArrays {
     isS(n - 1) = true
     var i = n - 2
     while (i >= 0) {
-      isS(i) = s(i) < s(i + 1) || (s(i) == s(i + 1) && isS(i + 1))
+      val si = s(i)
+      val sj = s(i + 1)
+      isS(i) = si < sj || (si == sj && isS(i + 1))
       i -= 1
     }
-    @inline def isLms(p: Int): Boolean = p > 0 && isS(p) && !isS(p - 1)
 
     val bktSize = new Array[Int](k)
     i = 0
     while (i < n) { bktSize(s(i)) += 1; i += 1 }
-
-    def bucketStarts(b: Array[Int]): Unit = {
-      var sum = 0; var c = 0
-      while (c < k) { b(c) = sum; sum += bktSize(c); c += 1 }
-    }
-    def bucketEnds(b: Array[Int]): Unit = {
-      var sum = 0; var c = 0
-      while (c < k) { sum += bktSize(c); b(c) = sum; c += 1 }
-    }
-
     val bkt = new Array[Int](k)
-
-    /** Seed SA with the given LMS positions (in the order provided, inserted
-      * from bucket ends backwards), then induce L then S.
-      */
-    def induce(lms: Array[Int], m: Int): Unit = {
-      java.util.Arrays.fill(sa, -1)
-      bucketEnds(bkt)
-      var j = m - 1
-      while (j >= 0) {
-        val p = lms(j)
-        bkt(s(p)) -= 1
-        sa(bkt(s(p))) = p
-        j -= 1
-      }
-      bucketStarts(bkt)
-      var q = 0
-      while (q < n) {
-        val p = sa(q)
-        if (p > 0 && !isS(p - 1)) {
-          sa(bkt(s(p - 1))) = p - 1
-          bkt(s(p - 1)) += 1
-        }
-        q += 1
-      }
-      bucketEnds(bkt)
-      q = n - 1
-      while (q >= 0) {
-        val p = sa(q)
-        if (p > 0 && isS(p - 1)) {
-          bkt(s(p - 1)) -= 1
-          sa(bkt(s(p - 1))) = p - 1
-        }
-        q -= 1
-      }
-    }
 
     // collect LMS positions in text order
     var m = 0
     i = 1
-    while (i < n) { if (isLms(i)) m += 1; i += 1 }
+    while (i < n) { if (isS(i) && !isS(i - 1)) m += 1; i += 1 }
     val lmsPos = new Array[Int](m)
     var w = 0
     i = 1
-    while (i < n) { if (isLms(i)) { lmsPos(w) = i; w += 1 }; i += 1 }
+    while (i < n) { if (isS(i) && !isS(i - 1)) { lmsPos(w) = i; w += 1 }; i += 1 }
 
-    if (m == 0) { induce(lmsPos, 0); return sa }
+    if (m == 0) { induce(s, sa, isS, bktSize, bkt, lmsPos, 0, k, n); return sa }
 
-    induce(lmsPos, m)
+    induce(s, sa, isS, bktSize, bkt, lmsPos, m, k, n)
 
     // extract LMS suffixes in current (LMS-substring-sorted) order
     val sortedLms = new Array[Int](m)
@@ -142,13 +102,12 @@ object SuffixArrays {
     i = 0
     while (i < n) {
       val p = sa(i)
-      if (p > 0 && isLms(p)) { sortedLms(w) = p; w += 1 }
+      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
       i += 1
     }
 
     // name LMS substrings
     val name = new Array[Int](n) // name by start position (sparse)
-    java.util.Arrays.fill(name, -1)
     var curName = 0
     name(sortedLms(0)) = 0
     var prev = sortedLms(0)
@@ -171,7 +130,7 @@ object SuffixArrays {
         w = 0
         i = 1
         while (i < n) {
-          if (isLms(i)) { s1(w) = name(i); w += 1 }
+          if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }
           i += 1
         }
         val sa1 = sais(s1, numNames)
@@ -181,8 +140,68 @@ object SuffixArrays {
         out
       }
 
-    induce(orderedLms, m)
+    induce(s, sa, isS, bktSize, bkt, orderedLms, m, k, n)
     sa
+  }
+
+  /** Seed SA with the given LMS positions (inserted from bucket ends
+    * backwards), then induce L-type then S-type suffixes.
+    */
+  private def induce(
+      s: Array[Int],
+      sa: Array[Int],
+      isS: Array[Boolean],
+      bktSize: Array[Int],
+      bkt: Array[Int],
+      lms: Array[Int],
+      m: Int,
+      k: Int,
+      n: Int
+  ): Unit = {
+    java.util.Arrays.fill(sa, -1)
+
+    // bucket ends
+    var sum = 0
+    var c = 0
+    while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+    var j = m - 1
+    while (j >= 0) {
+      val p = lms(j)
+      val ch = s(p)
+      bkt(ch) -= 1
+      sa(bkt(ch)) = p
+      j -= 1
+    }
+
+    // bucket starts; induce L
+    sum = 0
+    c = 0
+    while (c < k) { bkt(c) = sum; sum += bktSize(c); c += 1 }
+    var q = 0
+    while (q < n) {
+      val p = sa(q)
+      if (p > 0 && !isS(p - 1)) {
+        val ch = s(p - 1)
+        sa(bkt(ch)) = p - 1
+        bkt(ch) += 1
+      }
+      q += 1
+    }
+
+    // bucket ends; induce S
+    sum = 0
+    c = 0
+    while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+    q = n - 1
+    while (q >= 0) {
+      val p = sa(q)
+      if (p > 0 && isS(p - 1)) {
+        val ch = s(p - 1)
+        bkt(ch) -= 1
+        sa(bkt(ch)) = p - 1
+      }
+      q -= 1
+    }
   }
 
   /** Compare two LMS substrings (from start to next LMS position inclusive)

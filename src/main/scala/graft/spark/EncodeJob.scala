@@ -17,6 +17,8 @@ final case class EncodedChunk(
     n_rows: Int,
     bytes_in: Long,
     bytes_out: Long,
+    payload_hash: Long, // FNV-1a of payload, computed in-kernel so lineage
+    // aggregation never has to re-scan payload bytes (column pruning)
     payload: Array[Byte]
 )
 
@@ -98,43 +100,53 @@ object EncodeJob {
       if (done.isEmpty) withPart
       else withPart.filter(!$"part_id".isin(done.toSeq: _*))
 
+    // Lineage metrics are collected per part DURING the encode via an
+    // accumulator — no post-hoc re-scan of the written chunks (that extra
+    // read was a serial-fraction killer in the scaling runs). The
+    // accumulator only reaches the driver when the write action commits,
+    // so a lineage row still implies its partition's chunks are durable.
+    val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]
+    spark.sparkContext.register(acc, "graft_lineage")
+
+    // one shuffle; chunk layout determinism comes from the in-kernel sort
+    // (cheaper than a whole-stage Catalyst sort over the raw bytes)
     val chunks = todo
       .repartition(cfg.numPartitions, $"part_id")
-      .sortWithinPartitions($"part_id", $"url") // deterministic chunk layout
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
       .mapPartitions { it =>
-        encodePartition(it, cfg.chunkRows)
+        encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r))
       }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     chunks.toDF()
       .write.mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
+      .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
+      .option("compression", "none") // payloads are already codec-compressed
       .partitionBy("part_id")
       .parquet(chunksPath(outDir))
 
-    // lineage from the durably written chunks (not the in-flight dataset)
-    val written = spark.read.parquet(chunksPath(outDir))
-      .filter(if (done.isEmpty) lit(true) else !$"part_id".isin(done.toSeq: _*))
-    val lineage = written
-      .groupBy($"part_id")
-      .agg(
-        (sum($"n_rows") / lit(5)).cast("long").as("n_rows"), // 5 column rows per chunk
-        (countDistinct($"chunk_id")).as("n_chunks"),
-        sum(when($"col_name" === "text", $"bytes_in").otherwise(0L)).as("bytes_in_text"),
-        sum($"bytes_in").as("bytes_in"),
-        sum($"bytes_out").as("bytes_out"),
-        concat_ws(",", sort_array(collect_set(concat($"col_name", lit("="), $"codec")))).as("codecs"),
-        expr("aggregate(collect_list(xxhash64(payload)), 0L, (a, x) -> a ^ x)").as("payload_hash")
-      )
-      .select(
-        $"part_id".cast("int"),
-        $"n_rows", $"n_chunks", $"bytes_in", $"bytes_out", $"codecs", $"payload_hash",
-        lit("done").as("status")
-      )
-      .as[LineageRecord]
+    import scala.jdk.CollectionConverters._
+    // distinct: stage retries can double-add; records are deterministic
+    val records = acc.value.asScala.toSeq.distinct
+    if (records.nonEmpty) {
+      spark.createDataset(records)
+        .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+    }
+    // return THIS run's records; the full table lives at lineagePath
+    spark.createDataset(records)
+  }
 
-    lineage.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
-    spark.read.parquet(lineagePath(outDir)).as[LineageRecord]
+  /** FNV-1a 64-bit (public domain) — deterministic payload fingerprint. */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
   }
 
   /** Partition-local kernel: group rows by part_id (a task can own several
@@ -142,9 +154,10 @@ object EncodeJob {
     * each column independently. Bounded memory: one chunk of each column
     * materialized at a time per part group.
     */
-  private def encodePartition(
+  private[spark] def encodePartitionImpl(
       it: Iterator[(String, java.sql.Timestamp, Array[Byte], String, String, Int)],
-      chunkRows: Int
+      chunkRows: Int,
+      onPartDone: LineageRecord => Unit = _ => ()
   ): Iterator[EncodedChunk] = {
     val byPart = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Array[Byte], String, String)]]
@@ -152,8 +165,9 @@ object EncodeJob {
       byPart.getOrElseUpdate(pid, scala.collection.mutable.ArrayBuffer.empty) +=
         ((url, ts, html, text, lang))
     }
-    byPart.iterator.flatMap { case (pid, rows) =>
-      rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
+    byPart.iterator.flatMap { case (pid, rows0) =>
+      val rows = rows0.sortBy(_._1) // deterministic chunk layout (by url)
+      val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
         val urls = chunk.map(_._1.getBytes(UTF_8)).toArray
         val tss = chunk.map { r =>
           Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
@@ -164,18 +178,39 @@ object EncodeJob {
         def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
           val payload = ColumnCodec.encodeBinary(values)
           EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-            values.length, values.map(_.length.toLong).sum, payload.length.toLong, payload)
+            values.length, values.map(_.length.toLong).sum, payload.length.toLong,
+            fnv1a(payload), payload)
         }
         val tsPayload = ColumnCodec.encodeLong(tss)
         Seq(
           bin("url", urls),
           EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
-            tss.length, tss.length * 8L, tsPayload.length.toLong, tsPayload),
+            tss.length, tss.length * 8L, tsPayload.length.toLong,
+            fnv1a(tsPayload), tsPayload),
           bin("html", htmls),
           bin("text", texts),
           bin("lang", langs)
         )
-      }
+      }.toVector
+      onPartDone(LineageRecord(
+        part_id = pid,
+        n_rows = rows.length.toLong,
+        n_chunks = partChunks.map(_.chunk_id).distinct.length.toLong,
+        bytes_in = partChunks.map(_.bytes_in).sum,
+        bytes_out = partChunks.map(_.bytes_out).sum,
+        codecs = partChunks.map(c => s"${c.col_name}=${c.codec}").distinct.sorted.mkString(","),
+        payload_hash = partChunks.map(_.payload_hash).foldLeft(0L)(_ ^ _),
+        status = "done"
+      ))
+      partChunks
     }
   }
+}
+
+/** Test/bench probe into the partition encode kernel. */
+object EncodeJobProbe {
+  def encodePartition(
+      it: Iterator[(String, java.sql.Timestamp, Array[Byte], String, String, Int)],
+      chunkRows: Int
+  ): Iterator[EncodedChunk] = EncodeJob.encodePartitionImpl(it, chunkRows)
 }
