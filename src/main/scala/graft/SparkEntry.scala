@@ -256,6 +256,27 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long"), col("cos"))
     },
 
+    // --- multimodal: opaque binary media column -> batched feature stage
+    // (decode stubbed; plumbing real — schema, batching, narrow plan)
+    "q27_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id", encode($"text", "UTF-8").as("media"))
+        .as[(Long, Array[Byte])]
+      graft.pipeline.Multimodal.extractFeatures(s, media)
+        .select(col("key").as("doc_id"), col("media_bytes"), col("n_frames"))
+    },
+
+    // --- persisted FM-index table: build once, search from the stored
+    // index without re-reading text (serialize/deserialize surface)
+    "q28_fm_index_persisted" -> { (s, dir) =>
+      import s.implicits._
+      val idxDir = s"/root/repo/target/fm_index_${math.abs(dir.hashCode)}"
+      val d = docsKT(s, dir).map { case (id, t) => (id.toString, t) }
+      graft.spark.IndexJob.build(s, d, idxDir)
+      graft.spark.IndexJob.search(s, idxDir, Seq("en"))
+        .select(col("doc_key").cast("long").as("doc_id"), col("cnt").as("cnt_en"))
+    },
+
     // --- distributed FM search over the whole corpus (SearchJob surface)
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
@@ -339,7 +360,16 @@ object SparkEntry {
         |                                     b.vec_id ASC) AS rank
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin
+        |) WHERE rank <= 5""".stripMargin,
+    "q27_media_features" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+         |       CAST(octet_length(encode(text)) // ${graft.pipeline.Multimodal.FrameStride} + 1 AS BIGINT) AS n_frames
+         |FROM documents""".stripMargin,
+    "q28_fm_index_persisted" ->
+      """SELECT doc_id,
+        |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en
+        |FROM documents""".stripMargin
     // q20-q26: not SQL-expressible (LSH banding, simhash, heuristic langid,
     // fingerprints, distributed FM search) -> driver rows-only check
   )

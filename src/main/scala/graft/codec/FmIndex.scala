@@ -102,6 +102,28 @@ final class FmIndex private (
     require(d >= 0, s"byte $b not in alphabet")
     cTable(d)
   }
+
+  /** Compact self-describing serialization — lets an index table be built
+    * once and searched many times (the reference gained the same ability
+    * when it embedded the SA in the index, CHANGELOG.md:104-106).
+    */
+  def serialize: Array[Byte] = {
+    val buf = new Bytes.Buf(n * 5 + 64)
+    buf.writeVarInt(n)
+    buf.writeVarInt(bwt.sentinelPos + 1)
+    buf.writeBytes(bwt.data)
+    buf.writeVarInt(alphabet.length)
+    buf.writeBytes(alphabet)
+    var i = 0
+    while (i < alphabet.length) { buf.writeVarInt(cTable(i)); buf.writeVarInt(symCount(i)); i += 1 }
+    buf.writeByte(blockBits)
+    buf.writeVarInt(ckpt.length)
+    i = 0
+    while (i < ckpt.length) { buf.writeVarInt(ckpt(i)); i += 1 }
+    i = 0
+    while (i <= n) { buf.writeVarInt(sa(i)); i += 1 }
+    buf.toArray
+  }
 }
 
 object FmIndex {
@@ -173,5 +195,29 @@ object FmIndex {
     }
 
     new FmIndex(bwt, alphabet, byteToDense, cTable, symCount, ckpt, blockBits, sa)
+  }
+
+  def deserialize(payload: Array[Byte]): FmIndex = {
+    val rd = new Bytes.Reader(payload)
+    val n = rd.readVarInt()
+    val sentinelPos = rd.readVarInt() - 1
+    val data = rd.readBytes(n)
+    val alphaLen = rd.readVarInt()
+    val alphabet = rd.readBytes(alphaLen)
+    val cTable = new Array[Int](alphaLen)
+    val symCount = new Array[Int](alphaLen)
+    var i = 0
+    while (i < alphaLen) { cTable(i) = rd.readVarInt(); symCount(i) = rd.readVarInt(); i += 1 }
+    val blockBits = rd.readByte()
+    val ckpt = new Array[Int](rd.readVarInt())
+    i = 0
+    while (i < ckpt.length) { ckpt(i) = rd.readVarInt(); i += 1 }
+    val sa = new Array[Int](n + 1)
+    i = 0
+    while (i <= n) { sa(i) = rd.readVarInt(); i += 1 }
+    val byteToDense = Array.fill(256)(-1)
+    i = 0
+    while (i < alphaLen) { byteToDense(alphabet(i) & 0xFF) = i; i += 1 }
+    new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount, ckpt, blockBits, sa)
   }
 }

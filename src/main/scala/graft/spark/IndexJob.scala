@@ -1,0 +1,58 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.codec.FmIndex
+
+/** Build-once/search-many FM-index tables.
+  *
+  * `build` writes a parquet table of serialized per-document FM-indexes
+  * (narrow map, no shuffle — index rows live wherever their documents
+  * live). `search` runs broadcast patterns against the stored indexes
+  * without touching the original text — the cluster-scale analogue of the
+  * reference keeping the SA inside the index so locate needs no re-scan
+  * (CHANGELOG.md:104-106).
+  */
+object IndexJob {
+
+  final case class IndexRow(doc_key: String, n_bytes: Long, index: Array[Byte])
+
+  def build(spark: SparkSession, docs: Dataset[(String, String)], outDir: String): Unit = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { case (key, text) =>
+        val raw = text.getBytes(UTF_8)
+        IndexRow(key, raw.length.toLong, FmIndex.build(raw).serialize)
+      }
+    }.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(outDir)
+  }
+
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      patterns: Seq[String],
+      compat: Boolean = false
+  ): Dataset[SearchHit] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(patterns.map(p => (p, p.getBytes(UTF_8))))
+    spark.read.parquet(indexDir).as[IndexRow].mapPartitions { it =>
+      val pats = bc.value
+      it.flatMap { row =>
+        val fm = FmIndex.deserialize(row.index)
+        pats.iterator.map { case (p, pb) =>
+          val positions = fm.locate(pb, compat)
+          SearchHit(
+            row.doc_key,
+            p,
+            fm.count(pb, compat).getOrElse(0).toLong,
+            if (positions.isEmpty) None else Some(positions.min.toLong),
+            positions.map(_.toLong).toSeq
+          )
+        }
+      }
+    }
+  }
+}
