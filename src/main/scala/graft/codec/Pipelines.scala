@@ -112,13 +112,12 @@ object Pipelines {
     * usually wins on web text; raw floors high-entropy inputs.
     */
   def textEncode(value: Array[Byte]): Array[Byte] = {
-    val bwt = BwtCodec.encode(value) // one SA build, both candidates reuse it
+    val bwt = BwtCodec.encode(value) // one SA build, all candidates reuse it
     val a = mtfRleSerialize(MtfCodec.encode(bwt))
     val b = RleCodec.serialize(RleCodec.encode(bwt))
-    val bestTag = if (a.length <= b.length && a.length <= value.length) 0
-      else if (b.length <= value.length) 1
-      else 2
-    val best = bestTag match { case 0 => a; case 1 => b; case _ => value }
+    val h = Huffman.compress(a) // entropy stage over the MTF+RLE stream
+    val candidates = Seq(0 -> a, 1 -> b, 2 -> value, 3 -> h)
+    val (bestTag, best) = candidates.minBy { case (tag, body) => (body.length, tag) }
     val out = new Array[Byte](best.length + 1)
     out(0) = bestTag.toByte
     System.arraycopy(best, 0, out, 1, best.length)
@@ -130,6 +129,7 @@ object Pipelines {
     (payload(0): Int) match {
       case 0 => bwtMtfRleDecode(body)
       case 1 => BwtCodec.decode(RleCodec.decode(RleCodec.deserialize(body)))
+      case 3 => bwtMtfRleDecode(Huffman.decompress(body))
       case _ => body
     }
   }

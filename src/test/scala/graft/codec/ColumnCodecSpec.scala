@@ -60,13 +60,15 @@ class ColumnCodecSpec extends AnyFunSuite {
   test("binary column: expected codec choices") {
     val rnd = new scala.util.Random(47)
     val langs = Array("en", "fr", "es", "zh", "de")
+    def base(payload: Array[Byte]): String =
+      ColumnCodec.codecName(payload).stripPrefix("huf+")
     val dictish = Array.fill(500)(bytes(langs(rnd.nextInt(5))))
-    assert(ColumnCodec.codecName(ColumnCodec.encodeBinary(dictish)) == "dict")
+    assert(base(ColumnCodec.encodeBinary(dictish)) == "dict")
     val runish = Array.tabulate(400)(i => bytes(langs(i / 100)))
-    val runCodec = ColumnCodec.codecName(ColumnCodec.encodeBinary(runish))
+    val runCodec = base(ColumnCodec.encodeBinary(runish))
     assert(runCodec == "rle" || runCodec == "dict") // both tiny; selector picks min
     val entropic = Array.fill(50)(Array.fill(30)(rnd.nextInt(256).toByte))
-    assert(ColumnCodec.codecName(ColumnCodec.encodeBinary(entropic)) == "raw")
+    assert(base(ColumnCodec.encodeBinary(entropic)) == "raw")
   }
 
   test("long column: auto-selected codecs roundtrip") {
@@ -88,14 +90,16 @@ class ColumnCodecSpec extends AnyFunSuite {
   }
 
   test("long column: expected codec choices") {
+    def base(payload: Array[Byte]): String =
+      ColumnCodec.codecName(payload).stripPrefix("huf+")
     // constant column: rle_long and delta_for (width 0) are both ~5 bytes
-    val constCodec = ColumnCodec.codecName(ColumnCodec.encodeLong(Array.fill(300)(7L)))
+    val constCodec = base(ColumnCodec.encodeLong(Array.fill(300)(7L)))
     assert(constCodec == "rle_long" || constCodec == "delta_for")
     val sortedTs = Array.tabulate(500)(i => 1666000000000000L + i * 1000L)
-    assert(ColumnCodec.codecName(ColumnCodec.encodeLong(sortedTs)) == "delta_for")
+    assert(base(ColumnCodec.encodeLong(sortedTs)) == "delta_for")
     val rnd = new scala.util.Random(59)
     val narrow = Array.fill(400)(rnd.nextInt(1000).toLong)
-    assert(ColumnCodec.codecName(ColumnCodec.encodeLong(narrow)) == "for_bitpack")
+    assert(base(ColumnCodec.encodeLong(narrow)) == "for_bitpack")
   }
 
   test("fsst encodes repetitive strings smaller than raw") {

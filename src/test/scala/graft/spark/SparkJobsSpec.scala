@@ -18,6 +18,11 @@ object TestSpark {
   }
 }
 
+/** Local-mode shared-JVM failure switch for the crash-resume test. */
+object FailureInjection {
+  @volatile var armed: Boolean = false
+}
+
 class SparkJobsSpec extends AnyFunSuite {
   import TestSpark.spark
 
@@ -90,6 +95,34 @@ class SparkJobsSpec extends AnyFunSuite {
     // and the data is still fully decodable + identical
     val report = VerifyJob.run(spark, pages, out)
     assert(report.mismatched_rows == 0 && report.except_violations == 0)
+  }
+
+  test("crashed run leaves no committed state; clean rerun completes and verifies") {
+    import spark.implicits._
+    val out = tmpDir("crash")
+    val pages = PagesGen.generate(spark, 120, partitions = 4)
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 64)
+
+    // inject a mid-job failure: one poisoned document makes its encode
+    // task (and so the whole write job) fail before commit
+    val poisoned = pages.map { p =>
+      if (FailureInjection.armed && p.url.hashCode % 7 == 0)
+        throw new RuntimeException("injected task failure")
+      p
+    }
+    FailureInjection.armed = true
+    val failed =
+      try { EncodeJob.run(spark, poisoned, out, cfg); false }
+      catch { case _: Throwable => true }
+    FailureInjection.armed = false
+    assert(failed, "injected failure must fail the job")
+    // no lineage checkpoint may exist for the aborted attempt
+    assert(EncodeJob.donePartIds(spark, out).isEmpty, "aborted job must not checkpoint lineage")
+
+    // rerun (resume from nothing) completes and passes the gates
+    EncodeJob.run(spark, poisoned, out, cfg) // armed=false: same dataset, no poison
+    val report = VerifyJob.run(spark, pages, out)
+    assert(report.mismatched_rows == 0 && report.except_violations == 0, report)
   }
 
   test("salting spreads skewed url-hosts across partitions") {
