@@ -51,8 +51,14 @@ object ColumnCodec {
 
   // ---------------------------------------------------------------- strings
 
-  /** Encode a chunk of binary values (strings arrive UTF-8 encoded). */
-  def encodeBinary(values: Array[Array[Byte]]): Array[Byte] = {
+  /** Encode a chunk of binary values (strings arrive UTF-8 encoded).
+    *
+    * `bwtBias` tunes the long-text sample decision: the BWT path is chosen
+    * when `bwtSampleSize <= fsstSampleSize * bwtBias`. 1.0 = size-optimal
+    * (default). Values < 1.0 demand a size win before paying the BWT
+    * path's ~6x CPU cost (speed-biased deployments); 0.0 = never BWT.
+    */
+  def encodeBinary(values: Array[Array[Byte]], bwtBias: Double = 1.0): Array[Byte] = {
     val n = values.length
     if (n == 0) return Array[Byte](RawBin.toByte, 0)
 
@@ -92,7 +98,7 @@ object ColumnCodec {
       val fsstBuf = new Bytes.Buf()
       sample.foreach(v => Fsst.encodeValue(fsstTable, v, fsstBuf))
       val fsstSize = fsstBuf.size.toLong + Fsst.serializeTable(fsstTable).length
-      candidates += (if (bwtSize <= fsstSize) encodeBwtValues(values) else encodeFsst(values))
+      candidates += (if (bwtSize <= fsstSize * bwtBias) encodeBwtValues(values) else encodeFsst(values))
     } else if (totalBytes >= 64) candidates += encodeFsst(values)
     candidates += encodeRawBin(values)
     val best = candidates.minBy(_.length)

@@ -42,7 +42,8 @@ final case class LineageRecord(
 final case class EncodeConfig(
     numPartitions: Int = 32,
     saltFactor: Int = 4, // spreads each url-host over this many partitions
-    chunkRows: Int = 1024 // codec unit; bounds kernel memory at any scale
+    chunkRows: Int = 1024, // codec unit; bounds kernel memory at any scale
+    bwtBias: Double = 1.0 // text-codec policy: 1.0 size-optimal, <1 speed-biased
 )
 
 /** The north-rule batch encode: pages -> salted explicit hash partitioning
@@ -114,7 +115,7 @@ object EncodeJob {
       .repartition(cfg.numPartitions, $"part_id")
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
       .mapPartitions { it =>
-        encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r))
+        encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
       }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -157,7 +158,8 @@ object EncodeJob {
   private[spark] def encodePartitionImpl(
       it: Iterator[(String, java.sql.Timestamp, Array[Byte], String, String, Int)],
       chunkRows: Int,
-      onPartDone: LineageRecord => Unit = _ => ()
+      onPartDone: LineageRecord => Unit = _ => (),
+      bwtBias: Double = 1.0
   ): Iterator[EncodedChunk] = {
     val byPart = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Array[Byte], String, String)]]
@@ -176,7 +178,7 @@ object EncodeJob {
         val texts = chunk.map(_._4.getBytes(UTF_8)).toArray
         val langs = chunk.map(_._5.getBytes(UTF_8)).toArray
         def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
-          val payload = ColumnCodec.encodeBinary(values)
+          val payload = ColumnCodec.encodeBinary(values, bwtBias)
           EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
             values.length, values.map(_.length.toLong).sum, payload.length.toLong,
             fnv1a(payload), payload)
