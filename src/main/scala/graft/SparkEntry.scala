@@ -277,6 +277,16 @@ object SparkEntry {
         .select(col("doc_key").cast("long").as("doc_id"), col("cnt").as("cnt_en"))
     },
 
+    // --- relational joins with explicit broadcast of the small side
+    "q29_join_broadcast" -> { (s, dir) =>
+      import s.implicits._
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), countDistinct($"o_custkey").as("n_custs"))
+    },
+
     // --- distributed FM search over the whole corpus (SearchJob surface)
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
@@ -369,7 +379,11 @@ object SparkEntry {
     "q28_fm_index_persisted" ->
       """SELECT doc_id,
         |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q29_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
     // q20-q26: not SQL-expressible (LSH banding, simhash, heuristic langid,
     // fingerprints, distributed FM search) -> driver rows-only check
   )
