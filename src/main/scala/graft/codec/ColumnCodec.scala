@@ -26,6 +26,11 @@ object ColumnCodec {
   final val FsstBin = 3
   final val BwtBin = 4
   final val HufWrap = 5 // order-0 Huffman over another (self-describing) payload
+
+  /** Documents above this size never take the BWT path (SA build costs
+    * ~9x the input in task memory; outliers must not OOM an executor).
+    */
+  final val MaxBwtDocBytes: Int = 8 << 20
   // long column codecs
   final val RawLong = 10
   final val ForPack = 11
@@ -84,7 +89,16 @@ object ColumnCodec {
     if (!distinctOver && distinct.size.toLong * (avgLen + 4) < totalBytes / 2)
       candidates += encodeDict(values)
     if (runs <= n / 4) candidates += encodeRleValues(values)
-    if (avgLen >= 512) {
+    var maxLen = 0
+    i = 0
+    while (i < n) { if (values(i).length > maxLen) maxLen = values(i).length; i += 1 }
+
+    if (avgLen >= 512 && maxLen > MaxBwtDocBytes) {
+      // a pathological document would make one task's SA build allocate
+      // ~9x its size; at 10^12-doc scale such outliers exist — cap them
+      // out of the BWT path and let FSST/raw carry the chunk
+      candidates += encodeFsst(values)
+    } else if (avgLen >= 512) {
       // long text/html: decide FSST vs BWT on a small sample so the chunk
       // is encoded exactly once — at 100 TB we cannot encode-both-pick-min
       var sampleBytes = 0L

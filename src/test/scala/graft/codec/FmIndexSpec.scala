@@ -103,6 +103,24 @@ class FmIndexSpec extends AnyFunSuite {
     assert(fm2.count(bytes("qqq")) == Some(509))
   }
 
+  test("edge patterns: longer than text, equal to text, unicode bytes") {
+    val fm = FmIndex.build(bytes("abc"))
+    assert(fm.count(bytes("abcd")) == None)
+    assert(fm.count(bytes("abc")) == Some(1))
+    assert(fm.locate(bytes("abc")).toSeq == Seq(1))
+    val uni = "héllo wörld héllo"
+    val fmU = FmIndex.build(bytes(uni))
+    // patterns are byte strings; multibyte chars match at byte level
+    assert(fmU.count(bytes("héllo")) == Some(2))
+    assert(fmU.count(bytes("é")) == Some(2))
+    assert(fmU.locate(bytes("wörld")).length == 1)
+    // single-char text
+    val fm1 = FmIndex.build(bytes("x"))
+    assert(fm1.count(bytes("x")) == Some(1))
+    assert(fm1.locate(bytes("x")).toSeq == Seq(1))
+    assert(fm1.count(bytes("y")) == None)
+  }
+
   test("FM inverse recovers the text (seqFromFMIndex + BWT decode path)") {
     val rnd = new scala.util.Random(31)
     (1 to 10).foreach { _ =>
