@@ -166,23 +166,56 @@ object Huffman {
       l += 1
     }
 
-    var acc = 0
+    // fast path: one 256-entry peek table resolves all codes of length <= 8
+    // in a single lookup ((sym << 4) | len, or 0 when the prefix is longer)
+    val peek = new Array[Int](256)
+    var oi = 0
+    while (oi < order.length && lens(order(oi)) <= 8) {
+      val s = order(oi)
+      val l = lens(s)
+      val codeBase = (firstCode(l) + (oi - firstIdx(l))) << (8 - l)
+      var fill = 0
+      while (fill < (1 << (8 - l))) {
+        peek(codeBase | fill) = (s << 4) | l
+        fill += 1
+      }
+      oi += 1
+    }
+
+    // bit reservoir, MSB-aligned in the low bits of acc
+    var acc = 0L
     var nbits = 0
     var w = 0
+    val arr = rd.arr
+    var pos = rd.pos
+    val end = arr.length
     while (w < n) {
-      // pull bits until a valid (length, code) pair resolves
-      var len = 0
-      var cur = 0
-      var done = false
-      while (!done) {
-        if (nbits == 0) { acc = rd.readByte(); nbits = 8 }
-        cur = (cur << 1) | ((acc >>> (nbits - 1)) & 1)
-        nbits -= 1
-        len += 1
-        if (countByLen(len) > 0 && cur - firstCode(len) < countByLen(len) && cur >= firstCode(len)) {
-          out(w) = order(firstIdx(len) + (cur - firstCode(len))).toByte
-          w += 1
-          done = true
+      while (nbits <= 56 && pos < end) {
+        acc = (acc << 8) | (arr(pos) & 0xFFL)
+        pos += 1
+        nbits += 8
+      }
+      val window = if (nbits >= 8) ((acc >>> (nbits - 8)) & 0xFF).toInt
+        else ((acc << (8 - nbits)) & 0xFF).toInt
+      val hit = peek(window)
+      if (hit != 0) {
+        out(w) = (hit >>> 4).toByte
+        nbits -= hit & 0xF
+        w += 1
+      } else {
+        // slow path: code longer than 8 bits
+        var len = 8
+        var cur = window
+        var resolved = false
+        while (!resolved) {
+          len += 1
+          cur = (cur << 1) | ((acc >>> (nbits - len)) & 1L).toInt
+          if (countByLen(len) > 0 && cur >= firstCode(len) && cur - firstCode(len) < countByLen(len)) {
+            out(w) = order(firstIdx(len) + (cur - firstCode(len))).toByte
+            nbits -= len
+            w += 1
+            resolved = true
+          }
         }
       }
     }
