@@ -287,6 +287,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), countDistinct($"o_custkey").as("n_custs"))
     },
 
+    // --- SQL surface: native Catalyst expressions through the
+    // FunctionRegistry (codegen'd, not UDFs)
+    "q30_sql_encode_roundtrip" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql("SELECT doc_id, graft_decode(graft_encode(text)) AS text_rt FROM documents")
+    },
+
     // --- distributed FM search over the whole corpus (SearchJob surface)
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
@@ -383,7 +391,8 @@ object SparkEntry {
     "q29_join_broadcast" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q30_sql_encode_roundtrip" -> identityTextOracle
     // q20-q26: not SQL-expressible (LSH banding, simhash, heuristic langid,
     // fingerprints, distributed FM search) -> driver rows-only check
   )

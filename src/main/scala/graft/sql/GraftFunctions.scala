@@ -1,0 +1,134 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the codec kernels: native Catalyst expressions (not
+  * Scala UDFs) registered in the FunctionRegistry, so they participate in
+  * whole-stage codegen — each `doGenCode` emits a direct static call, no
+  * boxing/closure indirection (SURVEY.md §7.3's deferred
+  * "ENCODE(col) as Expression + FunctionRegistry entry").
+  *
+  *   SELECT graft_decode(graft_encode(text)) = text FROM pages
+  *   SELECT graft_fingerprint(text) FROM pages
+  */
+object GraftFunctions {
+
+  /** Static kernels invoked from generated code (operate on UTF8String /
+    * byte arrays directly — no java.lang.String round-trip).
+    */
+  def encode(s: UTF8String): Array[Byte] =
+    graft.codec.Pipelines.textEncode(s.getBytes)
+
+  def decode(payload: Array[Byte]): UTF8String =
+    UTF8String.fromBytes(graft.codec.Pipelines.textDecode(payload))
+
+  def fingerprint(s: UTF8String): Long = {
+    // Karp-Rabin mod 2^61-1 over the UTF-8 bytes (same value as
+    // TextAnalysis.fingerprint, which goes through String)
+    val bytes = s.getBytes
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val lo = h * B
+      val hi = Math.multiplyHigh(h, B)
+      var folded = (lo & M) + ((lo >>> 61) | (hi << 3)) + (bytes(i) & 0xFFL)
+      while (folded >= M) folded -= M
+      h = folded
+      i += 1
+    }
+    h
+  }
+
+  abstract class GraftUnary extends UnaryExpression with Serializable {
+    protected def staticCall: String
+    protected def expectedInput: DataType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == expectedInput) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects $expectedInput, got ${child.dataType}")
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.sql.GraftFunctions.$staticCall($c)")
+  }
+
+  case class GraftEncode(child: Expression) extends GraftUnary {
+    override def dataType: DataType = BinaryType
+    override protected def expectedInput: DataType = StringType
+    override protected def staticCall = "encode"
+    override protected def nullSafeEval(input: Any): Any =
+      encode(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class GraftDecode(child: Expression) extends GraftUnary {
+    override def dataType: DataType = StringType
+    override protected def expectedInput: DataType = BinaryType
+    override protected def staticCall = "decode"
+    override protected def nullSafeEval(input: Any): Any =
+      decode(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class GraftFingerprint(child: Expression) extends GraftUnary {
+    override def dataType: DataType = LongType
+    override protected def expectedInput: DataType = StringType
+    override protected def staticCall = "fingerprint"
+    override protected def nullSafeEval(input: Any): Any =
+      fingerprint(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_encode" -> (args => GraftEncode(args.head)),
+    "graft_decode" -> (args => GraftDecode(args.head)),
+    "graft_fingerprint" -> (args => GraftFingerprint(args.head))
+  )
+
+  /** Programmatic registration (idempotent) for sessions we don't build
+    * ourselves (e.g. the driver's).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.GraftFunctions", name),
+        builder
+      )
+    }
+  }
+}
+
+/** spark.sql.extensions entry point for spark-submit deployments:
+  * `--conf spark.sql.extensions=graft.sql.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_encode"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_encode"),
+      (args: Seq[Expression]) => GraftFunctions.GraftEncode(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_decode"),
+      (args: Seq[Expression]) => GraftFunctions.GraftDecode(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_fingerprint"),
+      (args: Seq[Expression]) => GraftFunctions.GraftFingerprint(args.head)
+    ))
+  }
+}

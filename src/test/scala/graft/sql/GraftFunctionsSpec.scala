@@ -1,0 +1,52 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("registered expressions roundtrip through SQL (codegen path)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "abracadabra"),
+      (2L, "the quick brown fox jumps over the lazy dog " * 20),
+      (3L, ""),
+      (4L, "naïve 中文 тест")
+    ).toDF("id", "text")
+    df.createOrReplaceTempView("t_sql_fn")
+    val rows = spark.sql(
+      "SELECT id, graft_decode(graft_encode(text)) AS rt, graft_fingerprint(text) AS fp FROM t_sql_fn"
+    ).collect().sortBy(_.getLong(0))
+    val src = df.collect().sortBy(_.getLong(0))
+    rows.zip(src).foreach { case (r, s) =>
+      assert(r.getString(1) == s.getString(1), s"roundtrip id ${r.getLong(0)}")
+    }
+    // fingerprint matches the pipeline implementation (String-based path)
+    rows.zip(src).foreach { case (r, s) =>
+      assert(r.getLong(2) == graft.pipeline.TextAnalysis.fingerprint(s.getString(1)))
+    }
+  }
+
+  test("type checking rejects wrong input types") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_decode('not binary')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("expects") ||
+      err.getMessage.toLowerCase.contains("datatype") ||
+      err.getMessage.toLowerCase.contains("data type"), err.getMessage)
+  }
+
+  test("extensions class injects the functions into a fresh session") {
+    // the spark.sql.extensions entry point accepts the injection calls
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // programmatic path on an isolated session state
+    val s2 = TestSpark.spark.newSession()
+    GraftFunctions.register(s2)
+    import s2.implicits._
+    val n = s2.sql("SELECT graft_fingerprint('abc') AS fp").as[Long].head()
+    assert(n == GraftFunctions.fingerprint(org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+  }
+}
