@@ -21,7 +21,150 @@ package graft.codec
 object SuffixArrays {
 
   /** SA of `t` plus virtual sentinel (smaller than all bytes) at position n. */
-  def build(t: Array[Byte]): Array[Int] = {
+  def build(t: Array[Byte]): Array[Int] = saisBytes(t)
+
+  /** Level-0 SA-IS specialized to byte input: the text is read as bytes
+    * (virtual sentinel at position n), quartering the memory traffic of
+    * the top level versus widening to an int string. Recursion levels use
+    * the generic int implementation.
+    */
+  def saisBytes(t: Array[Byte]): Array[Int] = {
+    val tn = t.length
+    val n = tn + 1 // incl. sentinel
+    val k = 257
+    val sa = new Array[Int](n)
+    if (n == 1) { sa(0) = 0; return sa }
+    if (n == 2) { sa(0) = 1; sa(1) = 0; return sa }
+
+    @inline def sAt(i: Int): Int = if (i == tn) 0 else (t(i) & 0xFF) + 1
+
+    val isS = new Array[Boolean](n)
+    isS(n - 1) = true
+    var i = n - 2
+    while (i >= 0) {
+      val si = sAt(i)
+      val sj = sAt(i + 1)
+      isS(i) = si < sj || (si == sj && isS(i + 1))
+      i -= 1
+    }
+
+    val bktSize = new Array[Int](k)
+    i = 0
+    while (i < n) { bktSize(sAt(i)) += 1; i += 1 }
+    val bkt = new Array[Int](k)
+
+    var m = 0
+    i = 1
+    while (i < n) { if (isS(i) && !isS(i - 1)) m += 1; i += 1 }
+    val lmsPos = new Array[Int](m)
+    var w = 0
+    i = 1
+    while (i < n) { if (isS(i) && !isS(i - 1)) { lmsPos(w) = i; w += 1 }; i += 1 }
+
+    def induceB(lms: Array[Int], mm: Int): Unit = {
+      java.util.Arrays.fill(sa, -1)
+      var sum = 0
+      var c = 0
+      while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+      var j = mm - 1
+      while (j >= 0) {
+        val p = lms(j)
+        val ch = sAt(p)
+        bkt(ch) -= 1
+        sa(bkt(ch)) = p
+        j -= 1
+      }
+      sum = 0; c = 0
+      while (c < k) { bkt(c) = sum; sum += bktSize(c); c += 1 }
+      var q = 0
+      while (q < n) {
+        val p = sa(q)
+        if (p > 0 && !isS(p - 1)) {
+          val ch = sAt(p - 1)
+          sa(bkt(ch)) = p - 1
+          bkt(ch) += 1
+        }
+        q += 1
+      }
+      sum = 0; c = 0
+      while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+      q = n - 1
+      while (q >= 0) {
+        val p = sa(q)
+        if (p > 0 && isS(p - 1)) {
+          val ch = sAt(p - 1)
+          bkt(ch) -= 1
+          sa(bkt(ch)) = p - 1
+        }
+        q -= 1
+      }
+    }
+
+    if (m == 0) { induceB(lmsPos, 0); return sa }
+    induceB(lmsPos, m)
+
+    val sortedLms = new Array[Int](m)
+    w = 0
+    i = 0
+    while (i < n) {
+      val p = sa(i)
+      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
+      i += 1
+    }
+
+    val name = new Array[Int](n)
+    var curName = 0
+    name(sortedLms(0)) = 0
+    var prev = sortedLms(0)
+    var j = 1
+    while (j < m) {
+      val cur = sortedLms(j)
+      // compare LMS substrings on the byte view
+      var eq = prev == cur
+      if (!eq) {
+        var a = prev
+        var b = cur
+        var first = true
+        var decided = false
+        while (!decided) {
+          if (sAt(a) != sAt(b) || isS(a) != isS(b)) { eq = false; decided = true }
+          else if (!first && (((a > 0 && isS(a) && !isS(a - 1))) || ((b > 0 && isS(b) && !isS(b - 1))))) {
+            eq = (a > 0 && isS(a) && !isS(a - 1)) && (b > 0 && isS(b) && !isS(b - 1))
+            decided = true
+          } else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
+          else { a += 1; b += 1; first = false }
+        }
+      }
+      if (!eq) curName += 1
+      name(cur) = curName
+      prev = cur
+      j += 1
+    }
+    val numNames = curName + 1
+
+    val orderedLms =
+      if (numNames == m) sortedLms
+      else {
+        val s1 = new Array[Int](m)
+        w = 0
+        i = 1
+        while (i < n) {
+          if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }
+          i += 1
+        }
+        val sa1 = sais(s1, numNames)
+        val out = new Array[Int](m)
+        j = 0
+        while (j < m) { out(j) = lmsPos(sa1(j)); j += 1 }
+        out
+      }
+
+    induceB(orderedLms, m)
+    sa
+  }
+
+  /** Generic path retained for cross-checks and non-byte alphabets. */
+  def buildGeneric(t: Array[Byte]): Array[Int] = {
     val n = t.length
     val s = new Array[Int](n + 1)
     var i = 0

@@ -25,10 +25,11 @@ class BwtSpec extends AnyFunSuite {
       Array.fill(n)(rnd.nextInt(sigma).toByte)
     }
     cases.foreach { t =>
-      assert(
-        SuffixArrays.build(t).toSeq == SuffixArrays.buildNaive(t).toSeq,
-        s"SA mismatch for ${t.toSeq.take(30)} (len ${t.length})"
-      )
+      val naive = SuffixArrays.buildNaive(t).toSeq
+      assert(SuffixArrays.build(t).toSeq == naive,
+        s"SA mismatch for ${t.toSeq.take(30)} (len ${t.length})")
+      assert(SuffixArrays.buildGeneric(t).toSeq == naive,
+        s"generic SA mismatch (len ${t.length})")
     }
   }
 
