@@ -31,6 +31,8 @@ object ColumnCodec {
     * ~9x the input in task memory; outliers must not OOM an executor).
     */
   final val MaxBwtDocBytes: Int = 8 << 20
+
+  final val NullWrap = 6 // null-presence bitmap + inner payload
   // long column codecs
   final val RawLong = 10
   final val ForPack = 11
@@ -47,6 +49,11 @@ object ColumnCodec {
       val inner = Huffman.decompressFirst(
         java.util.Arrays.copyOfRange(payload, 1, payload.length))
       "huf+" + codecName(Array(inner))
+    case NullWrap =>
+      val rd = new Bytes.Reader(payload, 1)
+      val n = rd.readVarInt()
+      rd.readBytes((n + 7) / 8)
+      "nullable+" + codecName(java.util.Arrays.copyOfRange(payload, rd.pos, payload.length))
     case RawLong  => "raw_long"
     case ForPack  => "for_bitpack"
     case DeltaFor => "delta_for"
@@ -117,6 +124,49 @@ object ColumnCodec {
     candidates += encodeRawBin(values)
     val best = candidates.minBy(_.length)
     hufWrapIfSmaller(best)
+  }
+
+  /** Nullable binary column: nulls are recorded in a presence bitmap and
+    * encoded as empty values; the bitmap wrapper is only added when nulls
+    * actually occur, so null-free data pays nothing.
+    */
+  def encodeBinaryNullable(values: Array[Array[Byte]], bwtBias: Double = 1.0): Array[Byte] = {
+    var hasNull = false
+    var i = 0
+    while (i < values.length && !hasNull) { if (values(i) == null) hasNull = true; i += 1 }
+    if (!hasNull) return encodeBinary(values, bwtBias)
+    val bitmap = new Array[Byte]((values.length + 7) / 8)
+    val dense = new Array[Array[Byte]](values.length)
+    i = 0
+    while (i < values.length) {
+      if (values(i) == null) {
+        bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+        dense(i) = Array.emptyByteArray
+      } else dense(i) = values(i)
+      i += 1
+    }
+    val inner = encodeBinary(dense, bwtBias)
+    val buf = new Bytes.Buf(inner.length + bitmap.length + 8)
+    buf.writeByte(NullWrap)
+    buf.writeVarInt(values.length)
+    buf.writeBytes(bitmap)
+    buf.writeBytes(inner)
+    buf.toArray
+  }
+
+  /** Inverse of [[encodeBinaryNullable]]; null entries restored. */
+  def decodeBinaryNullable(payload: Array[Byte]): Array[Array[Byte]] = {
+    if ((payload(0) & 0xFF) != NullWrap) return decodeBinary(payload)
+    val rd = new Bytes.Reader(payload, 1)
+    val n = rd.readVarInt()
+    val bitmap = rd.readBytes((n + 7) / 8)
+    val inner = decodeBinary(rd.readBytes(rd.remaining))
+    var i = 0
+    while (i < n) {
+      if (((bitmap(i >> 3) >> (i & 7)) & 1) == 1) inner(i) = null
+      i += 1
+    }
+    inner
   }
 
   /** Entropy stage: wrap the chosen payload in order-0 Huffman when that

@@ -27,9 +27,10 @@ object DecodeJob {
         val byCol = chunks.map(c => c.col_name -> c.payload).toMap
         val urls = ColumnCodec.decodeBinary(byCol("url"))
         val tss = ColumnCodec.decodeLong(byCol("warc_ts"))
-        val htmls = ColumnCodec.decodeBinary(byCol("html"))
-        val texts = ColumnCodec.decodeBinary(byCol("text"))
-        val langs = ColumnCodec.decodeBinary(byCol("lang"))
+        val htmls = ColumnCodec.decodeBinaryNullable(byCol("html"))
+        val texts = ColumnCodec.decodeBinaryNullable(byCol("text"))
+        val langs = ColumnCodec.decodeBinaryNullable(byCol("lang"))
+        def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
         urls.indices.iterator.map { i =>
           val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
           ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
@@ -37,8 +38,8 @@ object DecodeJob {
             new String(urls(i), UTF_8),
             ts,
             htmls(i),
-            new String(texts(i), UTF_8),
-            new String(langs(i), UTF_8)
+            ns(texts(i)),
+            ns(langs(i))
           )
         }
       }
@@ -53,7 +54,7 @@ object DecodeJob {
       .filter($"col_name" === colName)
       .as[EncodedChunk]
       .flatMap { c =>
-        ColumnCodec.decodeBinary(c.payload).iterator.zipWithIndex.map { case (v, i) =>
+        ColumnCodec.decodeBinaryNullable(c.payload).iterator.zipWithIndex.map { case (v, i) =>
           (c.part_id, c.chunk_id, i, v)
         }
       }

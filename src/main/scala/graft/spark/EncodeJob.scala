@@ -170,17 +170,25 @@ object EncodeJob {
     byPart.iterator.flatMap { case (pid, rows0) =>
       val rows = rows0.sortBy(_._1) // deterministic chunk layout (by url)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
-        val urls = chunk.map(_._1.getBytes(UTF_8)).toArray
+        // url and warc_ts are the row identity — must be non-null; the
+        // payload columns (html/text/lang) are nullable like real crawl data
+        val urls = chunk.map { r =>
+          require(r._1 != null && r._2 != null, "null url/warc_ts")
+          r._1.getBytes(UTF_8)
+        }.toArray
         val tss = chunk.map { r =>
           Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
         }.toArray
-        val htmls = chunk.map(_._3).toArray
-        val texts = chunk.map(_._4.getBytes(UTF_8)).toArray
-        val langs = chunk.map(_._5.getBytes(UTF_8)).toArray
+        def nb(s: String): Array[Byte] = if (s == null) null else s.getBytes(UTF_8)
+        val htmls = chunk.map(_._3).toArray // Array[Byte], may be null
+        val texts = chunk.map(r => nb(r._4)).toArray
+        val langs = chunk.map(r => nb(r._5)).toArray
         def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
-          val payload = ColumnCodec.encodeBinary(values, bwtBias)
+          val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
           EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-            values.length, values.map(_.length.toLong).sum, payload.length.toLong,
+            values.length,
+            values.map(v => if (v == null) 0L else v.length.toLong).sum,
+            payload.length.toLong,
             fnv1a(payload), payload)
         }
         val tsPayload = ColumnCodec.encodeLong(tss)

@@ -44,12 +44,14 @@ object VerifyJob {
 
     // equi-join on url: every column must match byte-for-byte
     val joined = src.as("s").join(dec.as("d"), Seq("url"), "full_outer")
+    // null-safe equality (<=>) everywhere: null columns are legitimate
+    // values and must compare equal to themselves, while a row missing on
+    // one side of the full-outer join still registers as a mismatch
     val mismatches = joined.filter(
-      $"s.ts_us".isNull || $"d.ts_us".isNull ||
-        $"s.ts_us" =!= $"d.ts_us" ||
-        $"s.html_h" =!= $"d.html_h" ||
-        $"s.text" =!= $"d.text" ||
-        $"s.lang" =!= $"d.lang"
+      !($"s.ts_us" <=> $"d.ts_us") ||
+        !($"s.html_h" <=> $"d.html_h") ||
+        !($"s.text" <=> $"d.text") ||
+        !($"s.lang" <=> $"d.lang")
     ).count()
 
     // set-level cross-check
@@ -61,9 +63,12 @@ object VerifyJob {
     // a separate pass so the encode hot path never pays for it
     val costs = pages.select($"text").as[String].mapPartitions { it =>
       it.map { t =>
-        val raw = t.getBytes(UTF_8)
-        val (refRle, refMtf) = graft.codec.Pipelines.referenceCosts(raw)
-        (raw.length.toLong, math.min(refRle, refMtf))
+        if (t == null) (0L, 0L)
+        else {
+          val raw = t.getBytes(UTF_8)
+          val (refRle, refMtf) = graft.codec.Pipelines.referenceCosts(raw)
+          (raw.length.toLong, math.min(refRle, refMtf))
+        }
       }
     }.toDF("raw", "ref").agg(sum($"raw"), sum($"ref")).first()
     val rawBytes = costs.getLong(0)

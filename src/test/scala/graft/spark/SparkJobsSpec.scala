@@ -125,6 +125,35 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(report.mismatched_rows == 0 && report.except_violations == 0, report)
   }
 
+  test("null text/html/lang survive the encode/decode roundtrip (real crawl data has them)") {
+    import spark.implicits._
+    val out = tmpDir("nulls")
+    val base = PagesGen.generate(spark, 60, partitions = 2).collect()
+    val withNulls = base.zipWithIndex.map { case (p, i) =>
+      i % 5 match {
+        case 0 => p.copy(text = null)
+        case 1 => p.copy(html = null)
+        case 2 => p.copy(lang = null)
+        case 3 => p.copy(text = null, html = null, lang = null)
+        case _ => p
+      }
+    }
+    val ds = spark.createDataset(withNulls.toIndexedSeq)
+    EncodeJob.run(spark, ds, out, EncodeConfig(numPartitions = 2, chunkRows = 16))
+    val report = VerifyJob.run(spark, ds, out)
+    assert(report.rows_decoded == 60)
+    assert(report.mismatched_rows == 0, report)
+    assert(report.except_violations == 0, report)
+    // decoded nulls really are nulls, not empty strings
+    val decoded = DecodeJob.run(spark, out).collect().map(p => p.url -> p).toMap
+    withNulls.foreach { p =>
+      val d = decoded(p.url)
+      assert((d.text == null) == (p.text == null), s"text nullness ${p.url}")
+      assert((d.html == null) == (p.html == null), s"html nullness ${p.url}")
+      assert((d.lang == null) == (p.lang == null), s"lang nullness ${p.url}")
+    }
+  }
+
   test("salting spreads skewed url-hosts across partitions") {
     import org.apache.spark.sql.functions._
     val skewed = PagesGen.generate(spark, 2000, hostSkew = true, partitions = 4)
