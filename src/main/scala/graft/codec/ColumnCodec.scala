@@ -46,14 +46,30 @@ object ColumnCodec {
     case FsstBin  => "fsst"
     case BwtBin   => "bwt_mtf_rle"
     case HufWrap  =>
+      // one decoded byte is enough for a flat name, not for recursing
+      // into wrappers that need their headers
       val inner = Huffman.decompressFirst(
         java.util.Arrays.copyOfRange(payload, 1, payload.length))
-      "huf+" + codecName(Array(inner))
+      "huf+" + flatName(inner & 0xFF)
     case NullWrap =>
       val rd = new Bytes.Reader(payload, 1)
       val n = rd.readVarInt()
       rd.readBytes((n + 7) / 8)
       "nullable+" + codecName(java.util.Arrays.copyOfRange(payload, rd.pos, payload.length))
+    case RawLong  => "raw_long"
+    case ForPack  => "for_bitpack"
+    case DeltaFor => "delta_for"
+    case RleLong  => "rle_long"
+    case other    => s"unknown_$other"
+  }
+
+  private def flatName(id: Int): String = id match {
+    case RawBin   => "raw"
+    case DictBin  => "dict"
+    case RleBin   => "rle"
+    case FsstBin  => "fsst"
+    case BwtBin   => "bwt_mtf_rle"
+    case NullWrap => "nullable"
     case RawLong  => "raw_long"
     case ForPack  => "for_bitpack"
     case DeltaFor => "delta_for"
@@ -154,9 +170,17 @@ object ColumnCodec {
     buf.toArray
   }
 
-  /** Inverse of [[encodeBinaryNullable]]; null entries restored. */
+  /** Inverse of [[encodeBinaryNullable]]; null entries restored. Handles
+    * any wrapper order (huf(nullable(inner)) and nullable(huf(inner))).
+    */
   def decodeBinaryNullable(payload: Array[Byte]): Array[Array[Byte]] = {
-    if ((payload(0) & 0xFF) != NullWrap) return decodeBinary(payload)
+    (payload(0) & 0xFF) match {
+      case HufWrap =>
+        return decodeBinaryNullable(
+          Huffman.decompress(java.util.Arrays.copyOfRange(payload, 1, payload.length)))
+      case NullWrap => // handled below
+      case _ => return decodeBinary(payload)
+    }
     val rd = new Bytes.Reader(payload, 1)
     val n = rd.readVarInt()
     val bitmap = rd.readBytes((n + 7) / 8)

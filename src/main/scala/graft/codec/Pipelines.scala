@@ -125,6 +125,7 @@ object Pipelines {
   }
 
   def textDecode(payload: Array[Byte]): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
     val body = java.util.Arrays.copyOfRange(payload, 1, payload.length)
     (payload(0): Int) match {
       case 0 => bwtMtfRleDecode(body)

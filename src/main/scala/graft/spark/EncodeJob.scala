@@ -43,7 +43,12 @@ final case class EncodeConfig(
     numPartitions: Int = 32,
     saltFactor: Int = 4, // spreads each url-host over this many partitions
     chunkRows: Int = 1024, // codec unit; bounds kernel memory at any scale
-    bwtBias: Double = 1.0 // text-codec policy: 1.0 size-optimal, <1 speed-biased
+    bwtBias: Double = 1.0, // text-codec policy: 1.0 size-optimal, <1 speed-biased
+    // compress text/html per document BEFORE the exchange: the shuffle
+    // then moves ~ratio x the bytes (0.3x on web text). Trades away the
+    // chunk-level FSST option for those two columns (they are containerized
+    // per-doc), so it is a knob, not the default.
+    mapSidePreEncode: Boolean = false
 )
 
 /** The north-rule batch encode: pages -> salted explicit hash partitioning
@@ -111,12 +116,31 @@ object EncodeJob {
 
     // one shuffle; chunk layout determinism comes from the in-kernel sort
     // (cheaper than a whole-stage Catalyst sort over the raw bytes)
-    val chunks = todo
-      .repartition(cfg.numPartitions, $"part_id")
-      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
-      .mapPartitions { it =>
-        encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
-      }
+    val chunks = if (!cfg.mapSidePreEncode) {
+      todo
+        .repartition(cfg.numPartitions, $"part_id")
+        .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+        .mapPartitions { it =>
+          encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+        }
+    } else {
+      // narrow pre-encode of the two heavy columns BEFORE the exchange;
+      // each value becomes varint(rawLen) ++ textEncode(bytes)
+      val pre = todo
+        .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+        .mapPartitions { it =>
+          it.map { case (url, ts, html, text, lang, pid) =>
+            (url, ts, preEncodeValue(html),
+              preEncodeValue(if (text == null) null else text.getBytes(UTF_8)),
+              lang, pid)
+          }
+        }
+      pre
+        .repartition(cfg.numPartitions, $"_6")
+        .mapPartitions { it =>
+          encodePreEncodedPartition(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+        }
+    }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     chunks.toDF()
@@ -136,6 +160,130 @@ object EncodeJob {
     }
     // return THIS run's records; the full table lives at lineagePath
     spark.createDataset(records)
+  }
+
+  /** Map-side pre-encoding of one value: varint(rawLen) ++ textEncode. */
+  private[spark] def preEncodeValue(raw: Array[Byte]): Array[Byte] = {
+    if (raw == null) return null
+    val enc = graft.codec.Pipelines.textEncode(raw)
+    val buf = new graft.codec.Bytes.Buf(enc.length + 5)
+    buf.writeVarInt(raw.length)
+    buf.writeBytes(enc)
+    buf.toArray
+  }
+
+  /** Kernel for the pre-encoded path: html/text arrive as per-doc payloads
+    * and are containerized (BwtBin layout + optional null bitmap + Huffman
+    * wrap) without re-encoding; url/lang/warc_ts take the normal path.
+    */
+  private[spark] def encodePreEncodedPartition(
+      it: Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)],
+      chunkRows: Int,
+      onPartDone: LineageRecord => Unit,
+      bwtBias: Double
+  ): Iterator[EncodedChunk] = {
+    import graft.codec.{Bytes, ColumnCodec}
+    val byPart = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String)]]
+    it.foreach { case (url, ts, html, text, lang, pid) =>
+      byPart.getOrElseUpdate(pid, scala.collection.mutable.ArrayBuffer.empty) +=
+        ((url, ts, html, text, lang))
+    }
+
+    // container in BwtBin layout over pre-encoded values; returns chunk row
+    def containerize(pid: Int, cid: Int, name: String, pre: Array[Array[Byte]]): EncodedChunk = {
+      var rawBytes = 0L
+      val bodies = new Array[Array[Byte]](pre.length)
+      var i = 0
+      while (i < pre.length) {
+        if (pre(i) != null) {
+          val rd = new Bytes.Reader(pre(i))
+          rawBytes += rd.readVarLong()
+          bodies(i) = java.util.Arrays.copyOfRange(pre(i), rd.pos, pre(i).length)
+        }
+        i += 1
+      }
+      val hasNull = bodies.exists(_ == null)
+      val inner = {
+        val buf = new Bytes.Buf()
+        buf.writeByte(ColumnCodec.BwtBin)
+        buf.writeVarInt(bodies.length)
+        val emptyEnc = graft.codec.Pipelines.textEncode(Array.emptyByteArray)
+        bodies.foreach { b =>
+          val v = if (b == null) emptyEnc else b // null slot: canonical empty
+          buf.writeVarInt(v.length)
+          buf.writeBytes(v)
+        }
+        buf.toArray
+      }
+      val withNulls = if (!hasNull) inner else {
+        val bitmap = new Array[Byte]((bodies.length + 7) / 8)
+        var j = 0
+        while (j < bodies.length) {
+          if (bodies(j) == null) bitmap(j >> 3) = (bitmap(j >> 3) | (1 << (j & 7))).toByte
+          j += 1
+        }
+        val buf = new Bytes.Buf(inner.length + bitmap.length + 8)
+        buf.writeByte(ColumnCodec.NullWrap)
+        buf.writeVarInt(bodies.length)
+        buf.writeBytes(bitmap)
+        buf.writeBytes(inner)
+        buf.toArray
+      }
+      val payload = {
+        val huf = graft.codec.Huffman.compress(withNulls)
+        if (huf.length + 1 < withNulls.length) {
+          val out = new Array[Byte](huf.length + 1)
+          out(0) = ColumnCodec.HufWrap.toByte
+          System.arraycopy(huf, 0, out, 1, huf.length)
+          out
+        } else withNulls
+      }
+      EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
+        pre.length, rawBytes, payload.length.toLong, fnv1a(payload), payload)
+    }
+
+    byPart.iterator.flatMap { case (pid, rows0) =>
+      val rows = rows0.sortBy(_._1)
+      val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
+        val urls = chunk.map { r =>
+          require(r._1 != null && r._2 != null, "null url/warc_ts")
+          r._1.getBytes(UTF_8)
+        }.toArray
+        val tss = chunk.map { r =>
+          Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
+        }.toArray
+        val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
+        def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
+          val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
+          EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
+            values.length,
+            values.map(v => if (v == null) 0L else v.length.toLong).sum,
+            payload.length.toLong, fnv1a(payload), payload)
+        }
+        val tsPayload = ColumnCodec.encodeLong(tss)
+        Seq(
+          bin("url", urls),
+          EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
+            tss.length, tss.length * 8L, tsPayload.length.toLong,
+            fnv1a(tsPayload), tsPayload),
+          containerize(pid, cid, "html", chunk.map(_._3).toArray),
+          containerize(pid, cid, "text", chunk.map(_._4).toArray),
+          bin("lang", langs)
+        )
+      }.toVector
+      onPartDone(LineageRecord(
+        part_id = pid,
+        n_rows = rows.length.toLong,
+        n_chunks = partChunks.map(_.chunk_id).distinct.length.toLong,
+        bytes_in = partChunks.map(_.bytes_in).sum,
+        bytes_out = partChunks.map(_.bytes_out).sum,
+        codecs = partChunks.map(c => s"${c.col_name}=${c.codec}").distinct.sorted.mkString(","),
+        payload_hash = partChunks.map(_.payload_hash).foldLeft(0L)(_ ^ _),
+        status = "done"
+      ))
+      partChunks
+    }
   }
 
   /** FNV-1a 64-bit (public domain) — deterministic payload fingerprint. */

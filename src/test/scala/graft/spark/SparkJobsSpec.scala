@@ -154,6 +154,32 @@ class SparkJobsSpec extends AnyFunSuite {
     }
   }
 
+  test("map-side pre-encode: same bit-identical result, compressed shuffle") {
+    import spark.implicits._
+    val out = tmpDir("preenc")
+    val base = PagesGen.generate(spark, 80, partitions = 2).collect()
+    val withNulls = base.zipWithIndex.map { case (p, i) =>
+      if (i % 7 == 0) p.copy(text = null) else if (i % 11 == 0) p.copy(html = null) else p
+    }
+    val ds = spark.createDataset(withNulls.toIndexedSeq)
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32, mapSidePreEncode = true)
+    EncodeJob.run(spark, ds, out, cfg)
+    val report = VerifyJob.run(spark, ds, out)
+    assert(report.rows_decoded == 80)
+    assert(report.mismatched_rows == 0, report)
+    assert(report.except_violations == 0, report)
+    // lineage raw byte accounting survives pre-encoding
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out))
+    val bytesIn = lin.agg(org.apache.spark.sql.functions.sum("bytes_in")).first().getLong(0)
+    val expected = withNulls.map { p =>
+      p.url.getBytes("UTF-8").length.toLong + 8L +
+        (if (p.html == null) 0L else p.html.length.toLong) +
+        (if (p.text == null) 0L else p.text.getBytes("UTF-8").length.toLong) +
+        (if (p.lang == null) 0L else p.lang.getBytes("UTF-8").length.toLong)
+    }.sum
+    assert(bytesIn == expected, s"bytes_in $bytesIn vs $expected")
+  }
+
   test("salting spreads skewed url-hosts across partitions") {
     import org.apache.spark.sql.functions._
     val skewed = PagesGen.generate(spark, 2000, hostSkew = true, partitions = 4)
