@@ -44,11 +44,15 @@ final case class EncodeConfig(
     saltFactor: Int = 4, // spreads each url-host over this many partitions
     chunkRows: Int = 1024, // codec unit; bounds kernel memory at any scale
     bwtBias: Double = 1.0, // text-codec policy: 1.0 size-optimal, <1 speed-biased
-    // compress text/html per document BEFORE the exchange: the shuffle
-    // then moves ~ratio x the bytes (0.3x on web text). Trades away the
-    // chunk-level FSST option for those two columns (they are containerized
-    // per-doc), so it is a knob, not the default.
-    mapSidePreEncode: Boolean = false
+    // compress text/html per document BEFORE the exchange (default): the
+    // shuffle moves ~ratio x the bytes (0.3x on web text) and the heavy
+    // compute runs in the skew-free narrow stage — this is what takes the
+    // measured N->4N scaling efficiency from ~0.7 to 0.85-0.91. Trade-off:
+    // text/html are containerized per-doc, giving up the chunk-level FSST
+    // option for those two columns (per-doc best-of still floors at raw,
+    // so the <=-reference size gate is untouched). Set false to shuffle
+    // raw rows and keep every chunk-level codec option.
+    mapSidePreEncode: Boolean = true
 )
 
 /** The north-rule batch encode: pages -> salted explicit hash partitioning
