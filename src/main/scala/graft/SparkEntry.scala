@@ -237,10 +237,19 @@ object SparkEntry {
       Dedup.simHashPairs(s, docsKT(s, dir), maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // q22 verifies the exact-jaccard stage against a DuckDB oracle, so the
+    // candidate set must be deterministic SQL (all pairs of the first 60
+    // docs) rather than the minhash output; the minhash->jaccard
+    // composition itself is exercised in DedupSpec.
     "q22_ngram_jaccard" -> { (s, dir) =>
-      val cands = Dedup.minHashPairs(s, docsKT(s, dir), threshold = 0.2)
-        .select(col("id_a"), col("id_b"))
-      Dedup.ngramJaccard(s, docsKT(s, dir), cands).orderBy(col("id_a"), col("id_b"))
+      import s.implicits._
+      val small = docs(s, dir).filter(col("doc_id") < 60)
+        .select($"doc_id", $"text").as[(Long, String)]
+      val ids = small.select($"doc_id")
+      val cands = ids.select($"doc_id".as("id_a"))
+        .crossJoin(ids.select($"doc_id".as("id_b")))
+        .filter($"id_a" < $"id_b")
+      Dedup.ngramJaccard(s, small, cands).orderBy(col("id_a"), col("id_b"))
     },
     "q23_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(s, docsKT(s, dir))
@@ -299,7 +308,9 @@ object SparkEntry {
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
       val d = docsKT(s, dir).map { case (id, t) => (id.toString, t) }
-      SearchJob.run(s, d, Seq("data", "the", "2022"))
+      // patterns chosen with no self-overlapping prefix/suffix so the FM
+      // count (all occurrences) equals the SQL replace-trick count
+      SearchJob.run(s, d, Seq("data", "the", "ing"))
         .select(col("doc_key").cast("long").as("doc_id"), col("pattern"),
           col("cnt"), col("first_pos"))
     }
@@ -392,8 +403,93 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
-    "q30_sql_encode_roundtrip" -> identityTextOracle
-    // q20-q26: not SQL-expressible (LSH banding, simhash, heuristic langid,
-    // fingerprints, distributed FM search) -> driver rows-only check
+    "q30_sql_encode_roundtrip" -> identityTextOracle,
+    "q22_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 60),
+        |g AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS gram
+        |    FROM (SELECT doc_id, tk, unnest(range(greatest(len(tk) - 2, 1))) AS i FROM d)
+        |  ) GROUP BY doc_id, gram
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT DISTINCT doc_id FROM d) a
+        |  JOIN (SELECT DISTINCT doc_id FROM d) b ON a.doc_id < b.doc_id
+        |),
+        |inter AS (
+        |  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+        |  GROUP BY ga.doc_id, gb.doc_id
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
+    "q23_lang_id" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+        |  + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' von ','')))//5
+        |  + (length(t)-length(replace(t,' das ','')))//5 + (length(t)-length(replace(t,' mit ','')))//5 AS s_de,
+        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' of ','')))//4
+        |  + (length(t)-length(replace(t,' and ','')))//5 + (length(t)-length(replace(t,' was ','')))//5
+        |  + (length(t)-length(replace(t,' for ','')))//5 + (length(t)-length(replace(t,' that ','')))//6 AS s_en,
+        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' los ','')))//5
+        |  + (length(t)-length(replace(t,' las ','')))//5 + (length(t)-length(replace(t,' una ','')))//5
+        |  + (length(t)-length(replace(t,' por ','')))//5 + (length(t)-length(replace(t,' para ','')))//6 AS s_es,
+        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+        |  + (length(t)-length(replace(t,' des ','')))//5 + (length(t)-length(replace(t,' une ','')))//5
+        |  + (length(t)-length(replace(t,' est ','')))//5 + (length(t)-length(replace(t,' dans ','')))//6 AS s_fr,
+        |  (length(t)-length(replace(t,'的',''))) + (length(t)-length(replace(t,'是','')))
+        |  + (length(t)-length(replace(t,'了',''))) + (length(t)-length(replace(t,'我','')))
+        |  + (length(t)-length(replace(t,'他',''))) + (length(t)-length(replace(t,'这',''))) AS s_zh
+        | FROM p)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
+        |      WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |      WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |      WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |      WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |      ELSE 'zh' END AS lang_guess
+        |FROM s""".stripMargin,
+    "q24_fingerprint" ->
+      """WITH RECURSIVE pw(k, p) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k+1, (p * 1000003) % 2305843009213693951
+        |  FROM pw WHERE k < (SELECT COALESCE(MAX(octet_length(encode(text))), 1) FROM documents)
+        |),
+        |b AS (
+        |  SELECT doc_id,
+        |         unnest(range(octet_length(encode(text)))) AS j,
+        |         lower(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |),
+        |lut AS (SELECT printf('%02x', i) AS hx, i AS v FROM range(256) t(i)),
+        |terms AS (
+        |  SELECT b.doc_id, (CAST(lut.v AS HUGEINT) * pw.p) % 2305843009213693951 AS term
+        |  FROM b
+        |  JOIN lut ON substr(b.hx, CAST(2*b.j+1 AS INT), 2) = lut.hx
+        |  JOIN pw ON pw.k = b.n - 1 - b.j
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(t.fp, 0) AS BIGINT) AS fp
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, SUM(term) % 2305843009213693951 AS fp FROM terms GROUP BY doc_id) t
+        |  ON d.doc_id = t.doc_id""".stripMargin,
+    "q26_fm_search_multi" ->
+      """SELECT d.doc_id, p.pattern,
+        |  CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) // length(p.pattern) AS BIGINT) AS cnt,
+        |  CASE WHEN strpos(d.text, p.pattern) > 0
+        |       THEN CAST(octet_length(encode(substr(d.text, 1, strpos(d.text, p.pattern) - 1))) + 1 AS BIGINT)
+        |  END AS first_pos
+        |FROM documents d CROSS JOIN (VALUES ('data'), ('the'), ('ing')) p(pattern)""".stripMargin
+    // q20/q21/q25: not SQL-expressible (minhash/simhash banding, RHP-LSH
+    // bucketing) -> driver rows-only check; verified by brute-force
+    // property tests in DedupSpec/SimilaritySpec instead
   )
 }

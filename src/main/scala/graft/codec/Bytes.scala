@@ -77,7 +77,10 @@ object Bytes {
   /** Pack `values` (each < 2^width) into a fresh byte array, LSB-first. */
   def packBits(values: Array[Long], width: Int): Array[Byte] = {
     if (width == 0) return Array.emptyByteArray
-    val out = new Array[Byte]((values.length.toLong * width + 7).toInt / 8)
+    val totalBytes = (values.length.toLong * width + 7) / 8
+    require(totalBytes <= Int.MaxValue,
+      s"packBits output would need $totalBytes bytes (${values.length} values x $width bits)")
+    val out = new Array[Byte](totalBytes.toInt)
     var bitPos = 0L
     var i = 0
     while (i < values.length) {

@@ -209,6 +209,8 @@ object Huffman {
         var resolved = false
         while (!resolved) {
           len += 1
+          if (len > MaxLen || nbits < len)
+            throw new IllegalArgumentException("corrupt huffman payload")
           cur = (cur << 1) | ((acc >>> (nbits - len)) & 1L).toInt
           if (countByLen(len) > 0 && cur >= firstCode(len) && cur - firstCode(len) < countByLen(len)) {
             out(w) = order(firstIdx(len) + (cur - firstCode(len))).toByte

@@ -112,6 +112,18 @@ object Pipelines {
     * usually wins on web text; raw floors high-entropy inputs.
     */
   def textEncode(value: Array[Byte]): Array[Byte] = {
+    if (value.length > ColumnCodec.MaxBwtDocBytes) {
+      // outlier gate: an SA build costs ~9x the input in task memory, so a
+      // pathological document must never take the BWT path no matter which
+      // caller reaches here (the chunk-level encodeBinary has the same cap).
+      // Order-0 Huffman is O(n), constant-memory, and still ~0.6x on text.
+      val h = Huffman.compress(value)
+      val (tag, body) = if (h.length < value.length) (4, h) else (2, value)
+      val out = new Array[Byte](body.length + 1)
+      out(0) = tag.toByte
+      System.arraycopy(body, 0, out, 1, body.length)
+      return out
+    }
     val bwt = BwtCodec.encode(value) // one SA build, all candidates reuse it
     val a = mtfRleSerialize(MtfCodec.encode(bwt))
     val b = RleCodec.serialize(RleCodec.encode(bwt))
@@ -131,6 +143,7 @@ object Pipelines {
       case 0 => bwtMtfRleDecode(body)
       case 1 => BwtCodec.decode(RleCodec.decode(RleCodec.deserialize(body)))
       case 3 => bwtMtfRleDecode(Huffman.decompress(body))
+      case 4 => Huffman.decompress(body) // huffman-over-raw (outlier gate)
       case _ => body
     }
   }

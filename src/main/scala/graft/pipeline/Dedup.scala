@@ -9,12 +9,60 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Exact dedup is a hash-groupBy (one shuffle on the content hash).
   * Near-dup is MinHash+LSH: shingle -> 64-hash signature -> banded bucket
   * join; candidate pairs only ever form inside a bucket, and oversized
-  * buckets (degenerate content) are dropped with a logged count rather
-  * than allowed to go quadratic — the property that keeps this plan alive
-  * at 10^12 documents. SimHash gives a complementary hamming-distance
-  * near-dup with a pigeonhole band join.
+  * buckets (degenerate content) are dropped with a counted, logged report
+  * (`onDrop`) rather than allowed to go quadratic — the property that
+  * keeps this plan alive at 10^12 documents. Bucket membership is counted
+  * BEFORE any per-bucket list is materialized, so a degenerate bucket
+  * never sits in one aggregation buffer either. SimHash gives a
+  * complementary hamming-distance near-dup whose band count is derived
+  * from `maxHamming` (pigeonhole: maxHamming+1 bands guarantee a shared
+  * band for every pair within the radius).
   */
 object Dedup {
+
+  /** What the bucket cap threw away (count of oversized buckets and the
+    * rows inside them) — surfaced so silent truncation can't read as full
+    * coverage.
+    */
+  final case class DropReport(droppedBuckets: Long, droppedRows: Long)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
+
+  /** Candidate pairs (id_a < id_b) from a banded (band, bucket, id) table,
+    * with the oversized-bucket cap applied scale-safely:
+    *  1. count bucket sizes (map-side combinable agg — no lists),
+    *  2. report + drop buckets over `maxBucket`,
+    *  3. only then collect the surviving (<= maxBucket) member lists and
+    *     explode the in-bucket pairs.
+    */
+  private def cappedBucketPairs(
+      banded: DataFrame,
+      maxBucket: Int,
+      onDrop: DropReport => Unit
+  ): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val sizes = banded.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val dropped = sizes.filter($"n" > maxBucket)
+      .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
+      .as[(Long, Long)].head()
+    val report = DropReport(dropped._1, dropped._2)
+    if (report.droppedBuckets > 0)
+      log.warn(s"bucket cap $maxBucket dropped ${report.droppedBuckets} buckets " +
+        s"(${report.droppedRows} member rows); pairs inside them are NOT covered")
+    onDrop(report)
+    val keep = sizes.filter($"n" >= 2 && $"n" <= maxBucket).select($"band", $"bucket")
+    banded.join(keep, Seq("band", "bucket"))
+      .groupBy($"band", $"bucket")
+      .agg(sort_array(collect_list($"id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+      )).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+  }
 
   /** SplitMix64 (public domain). */
   @inline private def mix(z0: Long): Long = {
@@ -22,6 +70,15 @@ object Dedup {
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a string's UTF-8 bytes (public domain). */
+  private def fnv1a64(s: String): Long = {
+    val bytes = s.getBytes(UTF_8)
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xFFL); h *= 0x100000001B3L; i += 1 }
+    h
   }
 
   /** Rolling 64-bit hashes of k-byte shingles. */
@@ -68,10 +125,10 @@ object Dedup {
       spark: SparkSession,
       docs: Dataset[(Long, String)], // (key, text)
       threshold: Double = 0.5,
-      maxBucket: Int = 64
+      maxBucket: Int = 64,
+      onDrop: DropReport => Unit = _ => ()
   ): DataFrame = {
     import spark.implicits._
-    val rows = Bands
     val perBand = NumHashes / Bands
 
     val sigs = docs.map { case (id, text) => (id, minHashSignature(text)) }
@@ -87,15 +144,7 @@ object Dedup {
       }
     }.toDF("band", "bucket", "id")
 
-    // pairs inside each (band, bucket); oversized buckets dropped
-    val buckets = banded
-      .groupBy($"band", $"bucket")
-      .agg(sort_array(collect_list($"id")).as("ids"))
-      .filter(size($"ids") >= 2 && size($"ids") <= maxBucket)
-
-    val cand = buckets.select(explode(expr(
-      "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
-    )).as("p")).select($"p.a".as("id_a"), $"p.b".as("id_b")).distinct()
+    val cand = cappedBucketPairs(banded, maxBucket, onDrop)
 
     // estimate jaccard by signature agreement
     val withSig = cand
@@ -140,28 +189,40 @@ object Dedup {
     out
   }
 
-  /** Near-dup pairs with hamming(simhash) <= maxHamming, found by the
-    * pigeonhole band join (4 x 16-bit bands: distance <= 3 implies at
-    * least one identical band).
+  /** Near-dup pairs with hamming(simhash) <= maxHamming.
+    *
+    * Band count is DERIVED from the radius: splitting 64 bits into
+    * maxHamming+1 contiguous bands guarantees (pigeonhole) that any pair
+    * within the radius shares at least one whole band, so recall is
+    * complete for the stated radius — except pairs inside buckets the
+    * `maxBucket` cap dropped, which are counted and reported via `onDrop`.
     */
   def simHashPairs(
       spark: SparkSession,
       docs: Dataset[(Long, String)],
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 256,
+      onDrop: DropReport => Unit = _ => ()
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming: bands of >= 2 bits need maxHamming < 32")
     import spark.implicits._
+    val bands = maxHamming + 1
     val hashed = docs.map { case (id, t) => (id, simHash(t)) }.toDF("id", "h").cache()
     val banded = hashed.as[(Long, Long)].flatMap { case (id, h) =>
-      (0 until 4).iterator.map(b => (b, (h >>> (b * 16)) & 0xFFFFL, id, h))
-    }.toDF("band", "bucket", "id", "h")
-    val pairs = banded.as("x").join(banded.as("y"),
-        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" && $"x.id" < $"y.id")
-      .select($"x.id".as("id_a"), $"y.id".as("id_b"), $"x.h".as("ha"), $"y.h".as("hb"))
-      .distinct()
+      (0 until bands).iterator.map { b =>
+        val start = b * 64 / bands
+        val width = (b + 1) * 64 / bands - start
+        (b, (h >>> start) & ((1L << width) - 1), id)
+      }
+    }.toDF("band", "bucket", "id")
+    val cand = cappedBucketPairs(banded, maxBucket, onDrop)
+    cand
+      .join(hashed.select($"id".as("id_a"), $"h".as("ha")), "id_a")
+      .join(hashed.select($"id".as("id_b"), $"h".as("hb")), "id_b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
-    pairs
   }
 
   /** Exact n-gram (token shingle) Jaccard for a set of candidate pairs —
@@ -177,13 +238,19 @@ object Dedup {
     val grams = docs.map { case (id, t) =>
       val toks = t.split(' ')
       val set = (0 to math.max(toks.length - n, 0)).map { i =>
-        mix(toks.slice(i, i + n).mkString(" ").hashCode.toLong)
+        // full-width 64-bit content hash (FNV-1a over the gram bytes), NOT
+        // a mix of String.hashCode: 32-bit collisions at ~10^2 grams/doc
+        // would corrupt jaccard at a measurable rate
+        fnv1a64(toks.slice(i, i + n).mkString(" "))
       }.toSet
       (id, set.toArray)
     }.toDF("id", "grams")
     candidates
       .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
       .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+      // joins put the join key first — reselect so the positional encoder
+      // below binds (id_a, id_b) and not (id_b, id_a)
+      .select($"id_a", $"id_b", $"g_a", $"g_b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (a, b, ga, gb) =>
         val sa = ga.toSet

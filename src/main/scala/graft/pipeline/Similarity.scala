@@ -6,15 +6,81 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * `bruteForceTopK` is the exact baseline: broadcast the (small) query set,
-  * one narrow pass over the corpus computing cosine, then a per-query
-  * window for top-k — the only shuffle is on query_id, whose cardinality
-  * is the query count, not the corpus size.
+  * one narrow pass over the corpus that scores AND keeps only a bounded
+  * per-partition top-k heap per query, then a tiny final merge over
+  * <= numPartitions * k rows per query. No corpus-sized exchange exists
+  * anywhere in the plan — the scored rows die inside the task that
+  * produced them (a global `row_number` window here would shuffle
+  * |corpus| x |queries| rows to one hot partition per query; that
+  * straggler is what kills the plan at 100x).
   *
   * `lshTopK` is the scale path: random-hyperplane signatures bucket the
   * corpus; each query only scores its own buckets (multi-probe = exact
-  * band match on any of the bands). Recall is tunable by bands/bits.
+  * band match on any of the bands). Recall is tunable by bands/bits; the
+  * final top-k is the same bounded heap merge.
   */
 object Similarity {
+
+  /** Worst-kept-first ordering for a bounded top-k heap under the result
+    * order (cos desc, nbr_id asc): the heap head is the element the next
+    * better candidate evicts.
+    */
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // lower cos = worse = greater
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
+    }
+  }
+
+  private def pushBounded(
+      heap: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      cand: (Double, Long),
+      k: Int
+  ): Unit = {
+    if (heap.size < k) heap.enqueue(cand)
+    else if (worstFirst.compare(cand, heap.head) < 0) { // cand better than worst kept
+      heap.dequeue(); heap.enqueue(cand)
+    }
+  }
+
+  /** Merge per-partition partial top-k rows into ranked (query_id, nbr_id,
+    * rank, cos) — each group holds <= numPartitions * k rows, so this
+    * shuffle is O(|queries| * partitions * k), independent of corpus size.
+    */
+  private def mergeTopK(
+      spark: SparkSession,
+      partial: Dataset[(Long, Long, Double)],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    partial
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+        rows.foreach(r => pushBounded(heap, (r._3, r._2), k))
+        // worst-first dequeue -> reverse = best-first
+        val best: List[(Double, Long)] = heap.dequeueAll.toList.reverse
+        best.iterator.zipWithIndex
+          .map { case ((cos, nbr), i) => (qid, nbr, i + 1, cos) }
+      }
+      .toDF("query_id", "nbr_id", "rank", "cos")
+  }
+
+  /** Fetch query vectors with a pushdown-friendly `isin` filter (a typed
+    * lambda filter here would force a full-corpus scan for a handful of
+    * ids).
+    */
+  private def collectQueries(
+      vectors: Dataset[(Long, Array[Float])],
+      queryIds: Seq[Long]
+  ): Array[(Long, Array[Float])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.toDF("id", "vec")
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Array[Float])]
+      .collect()
+  }
 
   @inline private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -45,23 +111,25 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import spark.implicits._
-    val queries = vectors.filter(v => queryIds.contains(v._1)).collect()
-    val bc = spark.sparkContext.broadcast(queries)
-    val scored = vectors.mapPartitions { it =>
+    val bc = spark.sparkContext.broadcast(collectQueries(vectors, queryIds))
+    val partial = vectors.mapPartitions { it =>
       val qs = bc.value
-      it.flatMap { case (id, vec) =>
-        qs.iterator.collect {
-          case (qid, qvec) if qid != id => (qid, id, cosine(qvec, vec))
+      val heaps = qs.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+      }
+      it.foreach { case (id, vec) =>
+        var i = 0
+        while (i < qs.length) {
+          val (qid, qvec) = qs(i)
+          if (qid != id) pushBounded(heaps(i)._2, (cosine(qvec, vec), id), k)
+          i += 1
         }
       }
-    }.toDF("query_id", "nbr_id", "cos")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id")
-      .orderBy($"cos".desc, $"nbr_id".asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"nbr_id", $"rank")
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nbr) => (qid, nbr, cos) }
+      }
+    }
+    mergeTopK(spark, partial, k).select($"query_id", $"nbr_id", $"rank")
   }
 
   /** Random-hyperplane signature: `bits` sign bits from deterministic
@@ -104,7 +172,7 @@ object Similarity {
       }
     }.toDF("band", "bucket", "id")
 
-    val queries = vectors.filter(v => queryIds.contains(v._1)).collect()
+    val queries = collectQueries(vectors, queryIds)
     val bc = spark.sparkContext.broadcast(queries.map { case (id, v) =>
       (id, v, rhpSignature(v, bands * bitsPerBand, 0xC0FFEEL))
     })
@@ -122,19 +190,23 @@ object Similarity {
       }
     }.toDF("query_id", "nbr_id").distinct()
 
-    val scored = cands
+    // score candidates and keep only a bounded per-partition heap per query
+    val partial = cands
       .join(vecById.withColumnRenamed("id", "nbr_id"), "nbr_id")
       .as[(Long, Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value.map(q => q._1 -> q._2).toMap
-        it.map { case (nbr, qid, vec) => (qid, nbr, cosine(qs(qid), vec)) }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (nbr, qid, vec) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          pushBounded(h, (cosine(qs(qid), vec), nbr), k)
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, nbr) => (qid, nbr, cos) }
+        }
       }
-      .toDF("query_id", "nbr_id", "cos")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id")
-      .orderBy($"cos".desc, $"nbr_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"nbr_id", $"rank", $"cos")
+    mergeTopK(spark, partial, k).select($"query_id", $"nbr_id", $"rank", $"cos")
   }
 }

@@ -36,8 +36,12 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "我", "他", "这")
   )
 
-  /** N-gram/stopword-marker language id. Deterministic argmax with
-    * alphabetical tie-break. Returns (key, guess).
+  /** N-gram/stopword-marker language id. Deterministic argmax; ties go to
+    * the first language in [[Markers]] order. Marker occurrences are
+    * counted NON-overlapping (left-to-right), which is exactly the SQL
+    * `(length(t) - length(replace(t, m, ''))) / length(m)` semantics — the
+    * property that makes this operator DuckDB-oracle-checkable.
+    * Returns (key, guess).
     */
   def languageId(spark: SparkSession, docs: Dataset[(Long, String)]): DataFrame = {
     import spark.implicits._
@@ -49,7 +53,7 @@ object TextAnalysis {
         var score = 0
         marks.foreach { m =>
           var idx = padded.indexOf(m)
-          while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
+          while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + m.length) }
         }
         if (score > bestScore) { bestScore = score; bestLang = lang }
       }

@@ -304,8 +304,10 @@ object EncodeJob {
 
   /** Partition-local kernel: group rows by part_id (a task can own several
     * after the hash exchange), slice into chunkRows-sized chunks, encode
-    * each column independently. Bounded memory: one chunk of each column
-    * materialized at a time per part group.
+    * each column independently. Task memory is bounded by the partition's
+    * row payload (the full group is buffered for the deterministic by-url
+    * sort before chunking), so `numPartitions` is the memory knob —
+    * chunkRows only bounds the per-chunk codec working set.
     */
   private[spark] def encodePartitionImpl(
       it: Iterator[(String, java.sql.Timestamp, Array[Byte], String, String, Int)],

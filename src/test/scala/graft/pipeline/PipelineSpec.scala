@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.spark.TestSpark
+
+/** Property tests for the dedup / similarity pipeline operators — the
+  * queries the driver can't oracle in SQL (q20/q21/q25) are pinned here
+  * against brute-force reference computations instead.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def docsDs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    spark.createDataset(rows)
+  }
+
+  // deterministic pseudo-random word soup so simhash distances vary
+  private def synthDoc(seed: Int, words: Int = 40): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until words).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+  }
+
+  test("simHashPairs: banded result equals brute-force all-pairs within the radius") {
+    val docs = (0L until 40L).map { i =>
+      // clusters of near-identical docs (same seed, few word edits)
+      val base = synthDoc((i / 4).toInt)
+      val words = base.split(' ')
+      val rnd = new scala.util.Random(i)
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if (j < (i % 4)) s"m${rnd.nextInt(9)}" else w
+      }
+      (i, mutated.mkString(" "))
+    }
+    val maxHamming = 8
+    val hashes = docs.map { case (id, t) => id -> Dedup.simHash(t) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= maxHamming
+    } yield (a, b)).toSet
+
+    val got = Dedup.simHashPairs(spark, docsDs(docs), maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "test corpus must actually contain near-dups")
+  }
+
+  test("simHashPairs: pigeonhole holds at the q21 radius (maxHamming=8)") {
+    // adversarial pair: exactly 8 differing bits spread one per band would
+    // defeat a 4-band join; with maxHamming+1=9 bands one band must be clean
+    val docs = (0L until 30L).map(i => (i, synthDoc(i.toInt % 6, words = 25)))
+    val hashes = docs.map { case (id, t) => id -> Dedup.simHash(t) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 8
+    } yield (a, b)).toSet
+    val got = Dedup.simHashPairs(spark, docsDs(docs), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("bucket cap: degenerate corpus reports dropped buckets instead of going quadratic") {
+    // 120 identical docs: every band bucket holds all 120 ids
+    val docs = (0L until 120L).map(i => (i, "the same boilerplate page text"))
+    var report = Dedup.DropReport(0, 0)
+    val pairs = Dedup.simHashPairs(spark, docsDs(docs), maxHamming = 3,
+      maxBucket = 64, onDrop = r => report = r)
+    assert(pairs.count() == 0) // all buckets oversized -> dropped
+    assert(report.droppedBuckets > 0 && report.droppedRows >= 120)
+
+    var mhReport = Dedup.DropReport(0, 0)
+    val mhPairs = Dedup.minHashPairs(spark, docsDs(docs), threshold = 0.5,
+      maxBucket = 64, onDrop = r => mhReport = r)
+    assert(mhPairs.count() == 0)
+    assert(mhReport.droppedBuckets > 0 && mhReport.droppedRows >= 120)
+  }
+
+  test("minHashPairs finds the planted near-duplicates") {
+    val base = synthDoc(1, words = 120)
+    val baseWords = base.split(' ')
+    val nearDup = baseWords.zipWithIndex // single-token edit
+      .map { case (w, j) => if (j == 60) "edited" else w }.mkString(" ")
+    val docs = Seq(0L -> base, 1L -> nearDup) ++
+      (2L until 20L).map(i => i -> synthDoc(i.toInt + 100, words = 120))
+    var report = Dedup.DropReport(0, 0)
+    val pairs = Dedup.minHashPairs(spark, docsDs(docs), threshold = 0.5,
+      onDrop = r => report = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(report == Dedup.DropReport(0, 0))
+  }
+
+  test("ngramJaccard matches brute-force string-set jaccard") {
+    val docs = (0L until 12L).map(i => (i, synthDoc(i.toInt % 4, words = 30)))
+    import spark.implicits._
+    val ids = docs.map(_._1)
+    val cands = spark.createDataset(for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(spark, docsDs(docs), cands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    def grams(t: String): Set[String] = {
+      val toks = t.split(' ')
+      (0 to math.max(toks.length - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    for { a <- ids; b <- ids if a < b } {
+      val (ga, gb) = (grams(docs(a.toInt)._2), grams(docs(b.toInt)._2))
+      val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(got((a, b)) - expect) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+
+  test("bruteForceTopK: heap merge equals naive global sort incl. tie-break") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(8)(rnd.nextInt(5).toFloat)) // small int coords force cos ties
+    }
+    import spark.implicits._
+    val ds = spark.createDataset(vecs).repartition(7) // heaps span partitions
+    val queryIds = Seq(0L, 1L, 2L)
+    val k = 10
+    val got = Similarity.bruteForceTopK(spark, ds, queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val byId = vecs.toMap
+    queryIds.foreach { q =>
+      val ranked = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, Similarity.cosine(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k)
+      ranked.zipWithIndex.foreach { case ((id, _), i) =>
+        assert(got((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("lshTopK: ranks are contiguous and cosines exact") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 150L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    import spark.implicits._
+    val ds = spark.createDataset(vecs).repartition(5)
+    val byId = vecs.toMap
+    val rows = Similarity.lshTopK(spark, ds, Seq(0L, 1L), k = 5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.toSeq == (1 to rs.length))
+      rs.foreach { r =>
+        val expect = Similarity.cosine(byId(q), byId(r.getLong(1)))
+        assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+      }
+      // ranking is by (cos desc, id asc)
+      val sorted = rs.sortBy(r => (-r.getDouble(3), r.getLong(1))).map(_.getInt(2))
+      assert(sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("textEncode outlier gate: oversized value bypasses BWT and roundtrips") {
+    val big = new Array[Byte](graft.codec.ColumnCodec.MaxBwtDocBytes + 1024)
+    val rnd = new scala.util.Random(3)
+    var i = 0
+    while (i < big.length) { big(i) = ('a' + rnd.nextInt(4)).toByte; i += 1 }
+    val enc = graft.codec.Pipelines.textEncode(big)
+    assert(enc(0) == 4 || enc(0) == 2, s"expected huffman/raw tag, got ${enc(0)}")
+    assert(java.util.Arrays.equals(graft.codec.Pipelines.textDecode(enc), big))
+    assert(enc.length < big.length) // 4-symbol text must compress under huffman
+  }
+
+  test("huffman decode of corrupt payload fails cleanly, not with AIOOBE") {
+    val data = ("the quick brown fox " * 50).getBytes(UTF_8)
+    val huf = graft.codec.Huffman.compress(data)
+    val truncated = java.util.Arrays.copyOfRange(huf, 0, huf.length - math.max(2, huf.length / 8))
+    try {
+      graft.codec.Huffman.decompress(truncated) // garbage output is fine...
+    } catch {
+      case _: IllegalArgumentException => // ...and so is a clean error
+      case e: ArrayIndexOutOfBoundsException => fail(s"raw AIOOBE escaped: $e")
+    }
+  }
+}
