@@ -265,14 +265,28 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long"), col("cos"))
     },
 
-    // --- multimodal: opaque binary media column -> batched feature stage
-    // (decode stubbed; plumbing real — schema, batching, narrow plan)
+    // --- multimodal: opaque binary media column -> batched feature stage.
+    // Payloads are REAL BMP/WAV files synthesized from doc fields; the
+    // operator magic-sniffs and parses them back (actual byte-level header
+    // decode), and the oracle re-derives every parsed field independently
+    // from the same doc fields — a genuine builder-vs-parser round trip.
+    // (Only the embedding stage remains a stub: no ML models on board.)
     "q27_media_features" -> { (s, dir) =>
       import s.implicits._
-      val media = docs(s, dir).select($"doc_id", encode($"text", "UTF-8").as("media"))
-        .as[(Long, Array[Byte])]
+      val media = docs(s, dir).select($"doc_id", $"n_chars").as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val payload =
+            if (id % 2 == 0)
+              graft.pipeline.Multimodal.synthBmp(
+                (nChars % 64 + 8).toInt, (id % 48 + 8).toInt, seed = id)
+            else
+              graft.pipeline.Multimodal.synthWav(
+                (id % 3 + 1).toInt, (8000 + (id % 4) * 4000).toInt, nChars, seed = id)
+          (id, payload)
+        }
       graft.pipeline.Multimodal.extractFeatures(s, media)
-        .select(col("key").as("doc_id"), col("media_bytes"), col("n_frames"))
+        .select(col("key").as("doc_id"), col("media_kind"), col("media_bytes"),
+          col("width"), col("height"), col("duration_us"), col("n_frames"))
     },
 
     // --- persisted FM-index table: build once, search from the stored
@@ -391,10 +405,20 @@ object SparkEntry {
         |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
         |) WHERE rank <= 5""".stripMargin,
     "q27_media_features" ->
-      s"""SELECT doc_id,
-         |       CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
-         |       CAST(octet_length(encode(text)) // ${graft.pipeline.Multimodal.FrameStride} + 1 AS BIGINT) AS n_frames
-         |FROM documents""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_kind,
+         |    CAST(CASE WHEN doc_id % 2 = 0
+         |      THEN 54 + ((3 * (n_chars % 64 + 8) + 3) // 4) * 4 * (doc_id % 48 + 8)
+         |      ELSE 44 + n_chars * (doc_id % 3 + 1) * 2 END AS BIGINT) AS media_bytes,
+         |    CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars % 64 + 8 AS INT) END AS width,
+         |    CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 48 + 8 AS INT) END AS height,
+         |    CASE WHEN doc_id % 2 = 1
+         |      THEN CAST(n_chars * 1000000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) END AS duration_us
+         |  FROM documents)
+         |SELECT doc_id, media_kind, media_bytes, width, height, duration_us,
+         |       CAST(media_bytes // ${graft.pipeline.Multimodal.FrameStride} + 1 AS BIGINT) AS n_frames
+         |FROM m""".stripMargin,
     "q28_fm_index_persisted" ->
       """SELECT doc_id,
         |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en

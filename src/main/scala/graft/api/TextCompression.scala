@@ -23,6 +23,8 @@ import graft.codec._
   * | *ToBWTToMTFB/T, *FromBWTFromMTFB/T         | bwtMtf / unbwtMtf             |
   * | *ToMTFB/T (direct)                         | mtf / unmtf                   |
   * | *ToBWTToFMIndexB/T                         | fmIndex                       |
+  * | seqFromRLE (stored-token interop)          | fromReferenceRleTokens        |
+  * | seqFromMTF (stored-form interop)           | fromReferenceMtf              |
   * | seqFromFMIndex (+BWT inverse)              | FmIndex.bwt + unbwt           |
   * | countFMIndex  (S and P variants)           | count / countAll              |
   * | locateFMIndex (S and P variants)           | locate / locateAll            |
@@ -63,6 +65,20 @@ object TextCompression {
     ReferenceRle.tokens(BwtCodec.encode(bytes))
   def referenceRleCost(bytes: Array[Byte]): Long =
     ReferenceRle.cost(BwtCodec.encode(bytes))
+
+  /** The reference's `seqFromRLE` + BWT inverse
+    * (RLE/Internal.hs:155-189, quirks included) — migrates values a user
+    * stored in the reference's token format back to the original bytes.
+    */
+  def fromReferenceRleTokens(tokens: Seq[Option[String]]): Array[Byte] =
+    BwtCodec.decode(ReferenceRle.streamToBwt(ReferenceRle.parse(tokens)))
+
+  /** The reference's `seqFromMTF` + BWT inverse (MTF/Internal.hs:201-232):
+    * decodes the reference's stored (indices, final recency list) pair.
+    * Symbols in `storedList` are char codes; `None` is the sentinel.
+    */
+  def fromReferenceMtf(indices: Seq[Int], storedList: Seq[Option[Int]]): Array[Byte] =
+    BwtCodec.decode(ReferenceRle.streamToBwt(ReferenceMtf.parse(indices, storedList)))
 
   // ------------------------------------------------------------------ MTF
 

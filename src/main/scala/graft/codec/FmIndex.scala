@@ -11,7 +11,10 @@ package graft.codec
   *    Internal.hs:195-259 — materialized there as a full sigma*n table; here
   *    checkpointed every 2^blockBits positions + an in-block scan, the
   *    succinct-rank layout the north star asks for).
-  *  - SA kept whole for `locate` (Internal.hs:169-170; CHANGELOG.md:104-106).
+  *  - SA kept whole in memory for `locate` (Internal.hs:169-170;
+  *    CHANGELOG.md:104-106); serialization optionally samples it (every
+  *    2^k-th text position + LF-walk recovery) for persisted index
+  *    tables.
   *  - count/locate = classic backward search right-to-left
   *    (Internal.hs:347-542), returning None instead of Just 0 and 1-based,
   *    row-ordered (unsorted) positions for locate (FMIndex.hs:473-474,496).
@@ -29,7 +32,11 @@ final class FmIndex private (
     symCount: Array[Int], // size sigmaReal: total occurrences
     ckpt: Array[Int], // (numBlocks x sigmaReal) row-major Occ checkpoints
     blockBits: Int,
-    val sa: Array[Int] // length n+1, sa(0) == n (sentinel suffix)
+    val sa: Array[Int], // full SA (length n+1, sa(0) == n) — empty when sampled
+    val sampleBits: Int, // 0 = full SA; k > 0 = SA values stored only where
+    // sa(r) % 2^k == 0, positions recovered by <= 2^k LF steps
+    sampleRows: Array[Int], // ascending rows carrying a sampled SA value
+    sampleVals: Array[Int]
 ) extends Serializable {
 
   val n: Int = bwt.data.length
@@ -83,6 +90,32 @@ final class FmIndex private (
   def count(pattern: Array[Byte], compat: Boolean = false): Option[Int] =
     searchRange(pattern, compat).map { case (sp, ep) => ep - sp }
 
+  /** One LF step: the row of the suffix starting one position earlier.
+    * Only defined for r != sentinel row (whose SA value is 0 by identity).
+    */
+  private def lfStep(r: Int): Int = {
+    val d = byteToDense(bwt.symbolAt(r))
+    cTable(d) + occ(d, r)
+  }
+
+  /** SA value of row r — direct lookup with a full SA, else an LF-walk of
+    * <= 2^sampleBits steps to the nearest sampled text position (the
+    * classic sampled-SA locate; walk cost trades against the ~2-5x-of-text
+    * serialized size a full SA costs at corpus scale).
+    */
+  private def saAt(r0: Int): Int = {
+    if (sampleBits == 0) return sa(r0)
+    var r = r0
+    var steps = 0
+    while (r != bwt.sentinelPos) {
+      val j = java.util.Arrays.binarySearch(sampleRows, r)
+      if (j >= 0) return sampleVals(j) + steps
+      r = lfStep(r)
+      steps += 1
+    }
+    steps // the sentinel row's SA value is 0
+  }
+
   /** 1-based start positions in row order (unsorted), like the reference's
     * `locateFMIndex` + suffixstartpos mapping (FMIndex.hs:496,562).
     */
@@ -92,7 +125,7 @@ final class FmIndex private (
       case Some((sp, ep)) =>
         val out = new Array[Int](ep - sp)
         var r = sp
-        while (r < ep) { out(r - sp) = sa(r) + 1; r += 1 }
+        while (r < ep) { out(r - sp) = saAt(r) + 1; r += 1 }
         out
     }
 
@@ -106,9 +139,18 @@ final class FmIndex private (
   /** Compact self-describing serialization — lets an index table be built
     * once and searched many times (the reference gained the same ability
     * when it embedded the SA in the index, CHANGELOG.md:104-106).
+    *
+    * `saSampleBits = 0` stores the full SA — exact parity with the
+    * reference's since-v0.1.0.25 behavior but ~2-5x the text size on disk.
+    * `saSampleBits = k > 0` stores only SA values divisible by 2^k
+    * (~1/2^k of the rows); locate recovers the rest by LF-walking, which
+    * is the layout a 100 TB persisted index table actually affords.
     */
-  def serialize: Array[Byte] = {
+  def serialize(saSampleBits: Int = 0): Array[Byte] = {
+    require(saSampleBits >= 0 && saSampleBits < 31, s"bad saSampleBits=$saSampleBits")
+    require(sampleBits == 0, "cannot re-serialize an already-sampled index at a different rate")
     val buf = new Bytes.Buf(n * 5 + 64)
+    buf.writeByte(if (saSampleBits == 0) 1 else 2) // format version
     buf.writeVarInt(n)
     buf.writeVarInt(bwt.sentinelPos + 1)
     buf.writeBytes(bwt.data)
@@ -120,8 +162,27 @@ final class FmIndex private (
     buf.writeVarInt(ckpt.length)
     i = 0
     while (i < ckpt.length) { buf.writeVarInt(ckpt(i)); i += 1 }
-    i = 0
-    while (i <= n) { buf.writeVarInt(sa(i)); i += 1 }
+    if (saSampleBits == 0) {
+      i = 0
+      while (i <= n) { buf.writeVarInt(sa(i)); i += 1 }
+    } else {
+      val mask = (1 << saSampleBits) - 1
+      buf.writeByte(saSampleBits)
+      var m = 0
+      i = 1 // row 0 is the empty suffix (sa = n), never a locate target
+      while (i <= n) { if ((sa(i) & mask) == 0) m += 1; i += 1 }
+      buf.writeVarInt(m)
+      var prevRow = 0
+      i = 1
+      while (i <= n) {
+        if ((sa(i) & mask) == 0) {
+          buf.writeVarInt(i - prevRow) // ascending-row delta
+          buf.writeVarInt(sa(i))
+          prevRow = i
+        }
+        i += 1
+      }
+    }
     buf.toArray
   }
 }
@@ -194,11 +255,14 @@ object FmIndex {
       i += 1
     }
 
-    new FmIndex(bwt, alphabet, byteToDense, cTable, symCount, ckpt, blockBits, sa)
+    new FmIndex(bwt, alphabet, byteToDense, cTable, symCount, ckpt, blockBits,
+      sa, 0, Array.emptyIntArray, Array.emptyIntArray)
   }
 
   def deserialize(payload: Array[Byte]): FmIndex = {
     val rd = new Bytes.Reader(payload)
+    val version = rd.readByte()
+    require(version == 1 || version == 2, s"unknown fm-index format version $version")
     val n = rd.readVarInt()
     val sentinelPos = rd.readVarInt() - 1
     val data = rd.readBytes(n)
@@ -212,12 +276,30 @@ object FmIndex {
     val ckpt = new Array[Int](rd.readVarInt())
     i = 0
     while (i < ckpt.length) { ckpt(i) = rd.readVarInt(); i += 1 }
-    val sa = new Array[Int](n + 1)
-    i = 0
-    while (i <= n) { sa(i) = rd.readVarInt(); i += 1 }
     val byteToDense = Array.fill(256)(-1)
     i = 0
     while (i < alphaLen) { byteToDense(alphabet(i) & 0xFF) = i; i += 1 }
-    new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount, ckpt, blockBits, sa)
+    if (version == 1) {
+      val sa = new Array[Int](n + 1)
+      i = 0
+      while (i <= n) { sa(i) = rd.readVarInt(); i += 1 }
+      new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount,
+        ckpt, blockBits, sa, 0, Array.emptyIntArray, Array.emptyIntArray)
+    } else {
+      val saSampleBits = rd.readByte()
+      val m = rd.readVarInt()
+      val rows = new Array[Int](m)
+      val vals = new Array[Int](m)
+      var row = 0
+      i = 0
+      while (i < m) {
+        row += rd.readVarInt()
+        rows(i) = row
+        vals(i) = rd.readVarInt()
+        i += 1
+      }
+      new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount,
+        ckpt, blockBits, Array.emptyIntArray, saSampleBits, rows, vals)
+    }
   }
 }

@@ -138,3 +138,32 @@ object MtfCodec {
     MtfChunk(indices, alphabet)
   }
 }
+
+/** Decoder for the reference's stored MTF form — (indices, FINAL recency
+  * list) — implementing `seqFromMTF`
+  * (/root/reference/src/Data/MTF/Internal.hs:201-232) exactly:
+  *  - empty indices OR empty stored list -> empty output (:203-210);
+  *  - the initial recency list is re-derived from the stored final list by
+  *    `nubSeq'` (sort-unique, sentinel `None` first, :214-216);
+  *  - each index emits the element at that position and moves it to the
+  *    front; an out-of-range index fails (the reference's `DS.index`
+  *    crash, surfaced as IndexOutOfBoundsException here).
+  * Symbols are char codes; `None` = sentinel. Migrated values reassemble
+  * into a [[Bwt]] via [[ReferenceRle.streamToBwt]].
+  */
+object ReferenceMtf {
+
+  def parse(indices: Seq[Int], storedList: Seq[Option[Int]]): Vector[Option[Int]] = {
+    if (indices.isEmpty || storedList.isEmpty) return Vector.empty
+    val il = scala.collection.mutable.ArrayBuffer.empty[Option[Int]]
+    if (storedList.contains(None)) il += None
+    storedList.flatten.distinct.sorted.foreach(u => il += Some(u))
+    val out = Vector.newBuilder[Option[Int]]
+    indices.foreach { y =>
+      val e = il.remove(y)
+      out += e
+      il.insert(0, e)
+    }
+    out.result()
+  }
+}

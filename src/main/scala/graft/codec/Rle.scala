@@ -152,6 +152,61 @@ object ReferenceRle {
     out.result()
   }
 
+  /** Inverse of the reference's `seqFromRLE`
+    * (/root/reference/src/Data/RLE/Internal.hs:155-189), quirks included,
+    * so values stored in the reference's token format can be migrated:
+    *  - tokens are consumed strictly pairwise (count, symbol);
+    *  - a (Just count, Nothing) pair emits ONE sentinel — the count is
+    *    ignored (:168-171,177-179);
+    *  - a trailing odd token is silently dropped (:187, the `Single` case
+    *    is `pure ()`);
+    *  - a non-numeric count token fails (the reference's `read` crash,
+    *    surfaced as a NumberFormatException here).
+    * Returns the symbol stream: `None` = sentinel, `Some(code)` = char.
+    */
+  def parse(tokens: Seq[Option[String]]): Vector[Option[Int]] = {
+    val buf = tokens.toIndexedSeq
+    val out = Vector.newBuilder[Option[Int]]
+    var i = 0
+    while (i + 1 < buf.length) {
+      val y1 = buf(i)
+      val y2 = buf(i + 1)
+      if (y1.isDefined && y2.isEmpty) out += None
+      else {
+        val count = y1.getOrElse(
+          throw new IllegalArgumentException("sentinel in count position")).toInt
+        val sym = y2.get
+        require(sym.length == 1, s"symbol token must be a single char: '$sym'")
+        var c = 0
+        while (c < count) { out += Some(sym.charAt(0).toInt); c += 1 }
+      }
+      i += 2
+    }
+    out.result()
+  }
+
+  /** Reassemble a BWT from a decoded symbol stream (exactly one sentinel).
+    * Streams from the reference's end-with-sentinel inputs carry the
+    * duplicated sentinel (the reference's own roundtrip bug, see the
+    * object doc) and are rejected here rather than guessed at.
+    */
+  def streamToBwt(stream: Vector[Option[Int]]): Bwt = {
+    val sentinels = stream.count(_.isEmpty)
+    require(sentinels == 1, s"stream must contain exactly one sentinel, got $sentinels")
+    val data = new Array[Byte](stream.length - 1)
+    var sentinelPos = -1
+    var w = 0
+    var i = 0
+    while (i < stream.length) {
+      stream(i) match {
+        case None => sentinelPos = i
+        case Some(c) => data(w) = c.toByte; w += 1
+      }
+      i += 1
+    }
+    Bwt(data, sentinelPos)
+  }
+
   /** Canonical byte costing of the reference stream (SURVEY.md §2.3):
     * counts cost their ASCII length, symbols cost 1 byte (sentinel incl.).
     */

@@ -7,20 +7,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * processed in bounded batches inside narrow `mapPartitions` kernels —
   * the Scala analogue of a pandas-UDF/`mapInPandas` stage.
   *
-  * The actual decoders are STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives a deterministic fake signal from the
-  * bytes. Everything around the stub — schema, batching, partition
-  * behavior, feature shapes — is real and tested, so swapping in a real
-  * decoder is a one-function change.
+  * Self-contained formats are decoded for REAL: BMP headers (magic, pixel
+  * dimensions, bit depth from the actual bytes) and WAV PCM (channels,
+  * sample rate, sample count -> duration). Only the *embedding* stage
+  * remains a stub (this container ships no ML image/audio models);
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * bytes, so the pipeline shape is exercised end to end and swapping in a
+  * real embedder is a one-function change.
   */
 object Multimodal {
 
   final case class MediaFeatures(
       key: Long,
+      media_kind: String, // "bmp" | "wav" | "unknown" (magic-sniffed)
       media_bytes: Long, // payload size
       n_frames: Long, // frame-sample count at the configured stride
-      width: Int, // stub "decoded" dimensions
-      height: Int,
+      width: Option[Int], // real parsed dims (BMP), None otherwise
+      height: Option[Int],
+      duration_us: Option[Long], // real parsed duration (WAV), None otherwise
       embedding: Array[Float] // stub feature vector (dim fixed)
   )
 
@@ -34,10 +38,122 @@ object Multimodal {
     z ^ (z >>> 31)
   }
 
-  /** STUB decoder: a real implementation would hand `bytes` to an image/
-    * audio codec; this derives deterministic pseudo-content so the
-    * pipeline shape (dims, frame count, embedding) is exercised end to
-    * end with stable outputs.
+  @inline private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  @inline private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Parsed BMP header (BITMAPINFOHEADER layout). */
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int)
+
+  /** Real BMP parse: 'BM' magic, 54-byte header, little-endian dims at
+    * offsets 18/22, bit depth at 28. Returns None unless the payload is a
+    * structurally valid BMP (header complete, positive dims, declared
+    * pixel-array size fits the payload).
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    if (width <= 0 || height <= 0 || (bpp != 24 && bpp != 32 && bpp != 8)) return None
+    val rowSize = ((width.toLong * bpp + 31) / 32) * 4
+    val dataOffset = le32(bytes, 10)
+    if (dataOffset < 54 || dataOffset.toLong + rowSize * height > bytes.length) return None
+    Some(BmpInfo(width, height, bpp))
+  }
+
+  /** Parsed WAV fmt+data summary. */
+  final case class WavInfo(
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      nSamples: Long // per channel
+  ) {
+    def durationUs: Long = nSamples * 1000000L / sampleRate
+  }
+
+  /** Real WAV PCM parse: RIFF/WAVE magic, then chunk walk to 'fmt ' and
+    * 'data'. Returns None unless both chunks are present and consistent.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var off = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataLen = -1L
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+      } else if (id == "data") {
+        dataLen = math.min(size, (bytes.length - off - 8).toLong)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
+    else Some(WavInfo(channels, sampleRate, bits, dataLen / (channels.toLong * (bits / 8))))
+  }
+
+  /** Deterministic synthetic BMP (24-bit, valid header + padded pixel
+    * rows) — the builder half of the parse round-trip used by tests and
+    * the q27 oracle.
+    */
+  def synthBmp(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((width * 24 + 31) / 32) * 4
+    val dataSize = rowSize * height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def w16(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    w32(2, out.length) // file size
+    w32(10, 54) // pixel array offset
+    w32(14, 40) // BITMAPINFOHEADER size
+    w32(18, width)
+    w32(22, height)
+    w16(26, 1) // planes
+    w16(28, 24) // bpp
+    w32(34, dataSize)
+    var z = seed
+    var i = 54
+    while (i < out.length) { z = mix(z); out(i) = (z & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV — builder half for tests/q27. */
+  def synthWav(channels: Int, sampleRate: Int, nSamples: Long, seed: Long = 0L): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0)
+    val dataSize = (nSamples * channels * 2).toInt
+    val out = new Array[Byte](44 + dataSize)
+    def put(off: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 } }
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def w16(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    put(0, "RIFF"); w32(4, 36 + dataSize); put(8, "WAVE")
+    put(12, "fmt "); w32(16, 16); w16(20, 1 /* PCM */); w16(22, channels)
+    w32(24, sampleRate); w32(28, sampleRate * channels * 2); w16(32, channels * 2); w16(34, 16)
+    put(36, "data"); w32(40, dataSize)
+    var z = seed
+    var i = 44
+    while (i < out.length) { z = mix(z); out(i) = (z & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** STUB embedder: a real implementation would hand `bytes` to a model;
+    * this derives deterministic pseudo-features so the pipeline shape is
+    * exercised end to end with stable outputs.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     var h = 0xBEEFL
@@ -52,19 +168,33 @@ object Multimodal {
     (width, height, emb)
   }
 
-  /** Frame sampling stub: one "frame" every FrameStride bytes. */
+  /** Frame sampling: one "frame" every FrameStride bytes. */
   def frameCount(nBytes: Long): Long = nBytes / FrameStride + 1
 
-  /** Narrow feature-extraction stage over (key, media) rows. Batches are
-    * the partition iterators themselves — constant memory per task, no
-    * shuffle; at 100 TB this is a pure map over the scan.
+  /** Narrow feature-extraction stage over (key, media) rows: magic-sniff,
+    * parse BMP/WAV for real, stub-embed. Batches are the partition
+    * iterators themselves — constant memory per task, no shuffle; at
+    * 100 TB this is a pure map over the scan.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[(Long, Array[Byte])]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { case (key, bytes) =>
-        val (w, h, emb) = decodeStub(bytes)
-        MediaFeatures(key, bytes.length.toLong, frameCount(bytes.length.toLong), w, h, emb)
+        val (_, _, emb) = decodeStub(bytes)
+        val nFrames = frameCount(bytes.length.toLong)
+        decodeBmp(bytes) match {
+          case Some(bmp) =>
+            MediaFeatures(key, "bmp", bytes.length.toLong, nFrames,
+              Some(bmp.width), Some(bmp.height), None, emb)
+          case None => decodeWav(bytes) match {
+            case Some(wav) =>
+              MediaFeatures(key, "wav", bytes.length.toLong, nFrames,
+                None, None, Some(wav.durationUs), emb)
+            case None =>
+              MediaFeatures(key, "unknown", bytes.length.toLong, nFrames,
+                None, None, None, emb)
+          }
+        }
       }
     }
   }

@@ -16,14 +16,27 @@ import graft.codec.FmIndex
   */
 object IndexJob {
 
-  final case class IndexRow(doc_key: String, n_bytes: Long, index: Array[Byte])
+  final case class IndexRow(doc_key: String, n_bytes: Long, index_bytes: Long, index: Array[Byte])
 
-  def build(spark: SparkSession, docs: Dataset[(String, String)], outDir: String): Unit = {
+  /** `saSampleBits = 0` persists the full SA (reference parity,
+    * CHANGELOG.md:104-106: index ~2-5x text). `k > 0` persists ~1/2^k of
+    * the SA — at a 100 TB corpus a full-SA index table is a multiple of
+    * the corpus itself, so the sampled layout is the default; locate pays
+    * <= 2^k LF steps per occurrence. The per-doc `index_bytes` column is
+    * the lineage record of what the choice cost.
+    */
+  def build(
+      spark: SparkSession,
+      docs: Dataset[(String, String)],
+      outDir: String,
+      saSampleBits: Int = 5
+  ): Unit = {
     import spark.implicits._
     docs.mapPartitions { it =>
       it.map { case (key, text) =>
         val raw = text.getBytes(UTF_8)
-        IndexRow(key, raw.length.toLong, FmIndex.build(raw).serialize)
+        val payload = FmIndex.build(raw).serialize(saSampleBits)
+        IndexRow(key, raw.length.toLong, payload.length.toLong, payload)
       }
     }.write.mode("overwrite")
       .option("parquet.enable.dictionary", "false")

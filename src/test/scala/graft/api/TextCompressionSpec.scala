@@ -48,7 +48,7 @@ class TextCompressionSpec extends AnyFunSuite {
     (1 to 10).foreach { _ =>
       val text = Array.fill(rnd.nextInt(400) + 5)(('a' + rnd.nextInt(5)).toChar).mkString
       val idx = FmIndex.build(text.getBytes(UTF_8))
-      val rt = FmIndex.deserialize(idx.serialize)
+      val rt = FmIndex.deserialize(idx.serialize())
       (1 to 8).foreach { _ =>
         val pat = Array.fill(rnd.nextInt(4) + 1)(('a' + rnd.nextInt(5)).toChar).mkString
         assert(rt.count(pat.getBytes(UTF_8)) == idx.count(pat.getBytes(UTF_8)))

@@ -121,6 +121,43 @@ class FmIndexSpec extends AnyFunSuite {
     assert(fm1.count(bytes("y")) == None)
   }
 
+  test("sampled-SA serialization: locate identical to full SA, payload smaller") {
+    val rnd = new scala.util.Random(47)
+    (1 to 8).foreach { round =>
+      val alpha = "abcdeé "
+      val t = Array.fill(rnd.nextInt(800) + 20)(alpha(rnd.nextInt(alpha.length)).toByte)
+      val fm = FmIndex.build(t)
+      val full = FmIndex.deserialize(fm.serialize(0))
+      val patterns = Seq("a", "ab", "cde", "e ", "zzz", new String(t, 10, 5, java.nio.charset.StandardCharsets.ISO_8859_1))
+      Seq(2, 5, 10).foreach { k =>
+        val payload = fm.serialize(k)
+        val sampled = FmIndex.deserialize(payload)
+        assert(sampled.sampleBits == k)
+        patterns.foreach { p =>
+          val pb = p.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          assert(sampled.count(pb) == full.count(pb), s"count k=$k p=$p")
+          // locate: same positions, same row order
+          assert(sampled.locate(pb).toSeq == full.locate(pb).toSeq, s"locate k=$k p=$p round=$round")
+        }
+        assert(payload.length < fm.serialize(0).length,
+          s"sampled (k=$k) payload should be smaller than full-SA payload")
+      }
+    }
+  }
+
+  test("sampled-SA edge cases: empty-ish text, all-same bytes, k larger than text") {
+    Seq("x", "aaaaaaaaaa", "ab" * 40).foreach { s =>
+      val t = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fm = FmIndex.build(t)
+      val sampled = FmIndex.deserialize(fm.serialize(12)) // 2^12 > |t|: only sa=0 sampled
+      Seq("a", "x", "ab", "aaa").foreach { p =>
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        assert(sampled.count(pb) == fm.count(pb))
+        assert(sampled.locate(pb).toSeq == fm.locate(pb).toSeq)
+      }
+    }
+  }
+
   test("FM inverse recovers the text (seqFromFMIndex + BWT decode path)") {
     val rnd = new scala.util.Random(31)
     (1 to 10).foreach { _ =>

@@ -136,4 +136,59 @@ class RleMtfSpec extends AnyFunSuite {
       assert(Pipelines.textDecode(Pipelines.textEncode(t)).sameElements(t))
     }
   }
+
+  // -------------------------------------------- reference-stream interop
+
+  test("interop: reference RLE goldens rle1/rle2 decode back to s1/s2") {
+    Seq(FixtureData.s1 -> FixtureData.rle1, FixtureData.s2 -> FixtureData.rle2)
+      .foreach { case (s, toks) =>
+        val bwt = ReferenceRle.streamToBwt(ReferenceRle.parse(toks))
+        assert(BwtCodec.decode(bwt).sameElements(bytes(s)))
+      }
+  }
+
+  test("interop quirk: seqFromRLE ignores the count of a sentinel pair (RLE/Internal.hs:168-171)") {
+    val got = ReferenceRle.parse(Vector(Some("42"), None, Some("2"), Some("a")))
+    assert(got == Vector(None, Some('a'.toInt), Some('a'.toInt)))
+  }
+
+  test("interop quirk: seqFromRLE drops a trailing odd token (RLE/Internal.hs:187)") {
+    val got = ReferenceRle.parse(Vector(Some("2"), Some("b"), Some("9")))
+    assert(got == Vector(Some('b'.toInt), Some('b'.toInt)))
+    assert(ReferenceRle.parse(Vector(Some("7"))) == Vector.empty)
+    assert(ReferenceRle.parse(Vector.empty) == Vector.empty)
+  }
+
+  test("interop: tokens -> parse -> streamToBwt roundtrips random BWTs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 20).foreach { _ =>
+      val t = Array.fill(rnd.nextInt(400) + 2)(('a' + rnd.nextInt(5)).toByte)
+      val bwt = BwtCodec.encode(t)
+      if (bwt.data.length > 0 && bwt.sentinelPos < bwt.conceptualLength - 1) {
+        // (sentinel-final streams are the reference's own broken case)
+        val rt = ReferenceRle.streamToBwt(ReferenceRle.parse(ReferenceRle.tokens(bwt)))
+        assert(rt.data.sameElements(bwt.data) && rt.sentinelPos == bwt.sentinelPos)
+        assert(BwtCodec.decode(rt).sameElements(t))
+      }
+    }
+  }
+
+  test("interop: reference MTF stored form (indices + final list) decodes back") {
+    val rnd = new scala.util.Random(29)
+    val cases = Seq("banana", "aaabbbccc", "mississippi river runs") ++
+      (1 to 15).map(_ => new String(Array.fill(rnd.nextInt(300) + 1)(('a' + rnd.nextInt(6)).toChar)))
+    cases.foreach { s =>
+      val bwt = BwtCodec.encode(bytes(s))
+      val m = MtfCodec.encode(bwt)
+      val stored = MtfCodec.finalList(bwt) // what the reference persists
+      val stream = ReferenceMtf.parse(m.indices.toSeq, stored)
+      val rt = ReferenceRle.streamToBwt(stream)
+      assert(BwtCodec.decode(rt).sameElements(bytes(s)), s"s=$s")
+    }
+  }
+
+  test("interop quirk: seqFromMTF of empty indices or empty list is empty (MTF/Internal.hs:203-210)") {
+    assert(ReferenceMtf.parse(Nil, Seq(Some(97))) == Vector.empty)
+    assert(ReferenceMtf.parse(Seq(0), Nil) == Vector.empty)
+  }
 }

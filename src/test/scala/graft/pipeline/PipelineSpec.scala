@@ -167,6 +167,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.length < big.length) // 4-symbol text must compress under huffman
   }
 
+  test("multimodal: synthesized BMP/WAV parse back exactly; garbage is rejected") {
+    val bmp = Multimodal.synthBmp(33, 17, seed = 5)
+    assert(Multimodal.decodeBmp(bmp) == Some(Multimodal.BmpInfo(33, 17, 24)))
+    assert(Multimodal.decodeWav(bmp).isEmpty)
+    val wav = Multimodal.synthWav(2, 16000, 12345, seed = 6)
+    val wi = Multimodal.decodeWav(wav).get
+    assert(wi.channels == 2 && wi.sampleRate == 16000 && wi.nSamples == 12345L)
+    assert(wi.durationUs == 12345L * 1000000 / 16000)
+    assert(Multimodal.decodeBmp(wav).isEmpty)
+    // truncated / non-media payloads: clean None, never a crash
+    assert(Multimodal.decodeBmp(java.util.Arrays.copyOf(bmp, 30)).isEmpty)
+    assert(Multimodal.decodeWav(java.util.Arrays.copyOf(wav, 20)).isEmpty)
+    assert(Multimodal.decodeBmp("plain text, not a bitmap at all...............".getBytes(UTF_8)).isEmpty)
+    assert(Multimodal.decodeWav("plain text, not a riff wave at all.............".getBytes(UTF_8)).isEmpty)
+    // extractFeatures sniffs kinds end to end
+    import TestSpark.spark.implicits._
+    val ds = TestSpark.spark.createDataset(Seq(
+      (1L, bmp), (2L, wav), (3L, "neither".getBytes(UTF_8))))
+    val rows = Multimodal.extractFeatures(TestSpark.spark, ds).collect().sortBy(_.key)
+    assert(rows.map(_.media_kind).toSeq == Seq("bmp", "wav", "unknown"))
+    assert(rows(0).width == Some(33) && rows(0).height == Some(17))
+    assert(rows(1).duration_us == Some(12345L * 1000000 / 16000))
+  }
+
   test("huffman decode of corrupt payload fails cleanly, not with AIOOBE") {
     val data = ("the quick brown fox " * 50).getBytes(UTF_8)
     val huf = graft.codec.Huffman.compress(data)
