@@ -87,31 +87,35 @@ object ScalingBench {
         java.nio.file.Paths.get(resultPath(cpus.toInt)), s"$sec $bytes")
       println(f"SCALING level=$cpus sec=$sec%.2f bytes=$bytes")
 
-    case "report" :: nPages :: Nil =>
-      val Array(sec8, bytes8) = java.nio.file.Files
-        .readString(java.nio.file.Paths.get(resultPath(8))).trim.split(' ')
-      val Array(sec32, bytes32) = java.nio.file.Files
-        .readString(java.nio.file.Paths.get(resultPath(32))).trim.split(' ')
-      require(bytes8 == bytes32, s"non-deterministic input?! $bytes8 vs $bytes32")
-      val gb = bytes8.toLong / 1e9
-      val th8 = gb / sec8.toDouble
-      val th32 = gb / sec32.toDouble
-      val eff = (th32 / th8) / 4.0
+    case "report" :: nPages :: rest if rest.length <= 2 =>
+      val (lo, hi) = rest match {
+        case a :: b :: Nil => (a.toInt, b.toInt)
+        case _             => (8, 32)
+      }
+      val Array(secLo, bytesLo) = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(resultPath(lo))).trim.split(' ')
+      val Array(secHi, bytesHi) = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(resultPath(hi))).trim.split(' ')
+      require(bytesLo == bytesHi, s"non-deterministic input?! $bytesLo vs $bytesHi")
+      val gb = bytesLo.toLong / 1e9
+      val thLo = gb / secLo.toDouble
+      val thHi = gb / secHi.toDouble
+      val eff = (thHi / thLo) / (hi.toDouble / lo)
       println(
-        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_pages":$nPages,"bytes":$bytes8,"local8_sec":${f"${sec8.toDouble}%.2f"},"local32_sec":${f"${sec32.toDouble}%.2f"},"local8_gbps":${f"$th8%.4f"},"local32_gbps":${f"$th32%.4f"}}""")
+        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_pages":$nPages,"bytes":$bytesLo,"local${lo}_sec":${f"${secLo.toDouble}%.2f"},"local${hi}_sec":${f"${secHi.toDouble}%.2f"},"local${lo}_gbps":${f"$thLo%.4f"},"local${hi}_gbps":${f"$thHi%.4f"}}""")
       val md =
         s"""## Measured scaling (engine, round-local)
            |
            |Same deterministic encode job (PagesGen, $nPages pages, ${f"$gb%.3f"} GB raw,
            |host-skewed, salted fixed 512-partition plan) at two parallelism levels,
-           |each level in a fresh JVM — the sandbox stand-in for N vs 4N executors:
+           |each level in a fresh JVM — the sandbox stand-in for N vs ${hi / lo}N executors:
            |
            || level | wall sec (best of reps) | throughput GB/s |
            ||---|---|---|
-           || local[8]  | ${f"${sec8.toDouble}%.2f"} | ${f"$th8%.4f"} |
-           || local[32] | ${f"${sec32.toDouble}%.2f"} | ${f"$th32%.4f"} |
+           || local[$lo]  | ${f"${secLo.toDouble}%.2f"} | ${f"$thLo%.4f"} |
+           || local[$hi] | ${f"${secHi.toDouble}%.2f"} | ${f"$thHi%.4f"} |
            |
-           |**Scaling efficiency (8 -> 32 cores): ${f"$eff%.3f"}** (target >= 0.8).
+           |**Scaling efficiency ($lo -> $hi cores): ${f"$eff%.3f"}** (target >= 0.8).
            |""".stripMargin
       val basePath = java.nio.file.Paths.get("/root/repo/BENCH")
       java.nio.file.Files.createDirectories(basePath)

@@ -117,12 +117,7 @@ object Pipelines {
       // pathological document must never take the BWT path no matter which
       // caller reaches here (the chunk-level encodeBinary has the same cap).
       // Order-0 Huffman is O(n), constant-memory, and still ~0.6x on text.
-      val h = Huffman.compress(value)
-      val (tag, body) = if (h.length < value.length) (4, h) else (2, value)
-      val out = new Array[Byte](body.length + 1)
-      out(0) = tag.toByte
-      System.arraycopy(body, 0, out, 1, body.length)
-      return out
+      return textEncodeFast(value)
     }
     val bwt = BwtCodec.encode(value) // one SA build, all candidates reuse it
     val a = mtfRleSerialize(MtfCodec.encode(bwt))
@@ -133,6 +128,20 @@ object Pipelines {
     val out = new Array[Byte](best.length + 1)
     out(0) = bestTag.toByte
     System.arraycopy(best, 0, out, 1, best.length)
+    out
+  }
+
+  /** Speed-biased per-value encoding: no BWT/SA work at all — order-0
+    * Huffman with a raw floor, same self-describing tag space as
+    * [[textEncode]] so [[textDecode]] reads both. ~6x the throughput of
+    * the BWT pipeline at a weaker ratio (see BENCH/BASELINE.md bias rows).
+    */
+  def textEncodeFast(value: Array[Byte]): Array[Byte] = {
+    val h = Huffman.compress(value)
+    val (tag, body) = if (h.length < value.length) (4, h) else (2, value)
+    val out = new Array[Byte](body.length + 1)
+    out(0) = tag.toByte
+    System.arraycopy(body, 0, out, 1, body.length)
     out
   }
 

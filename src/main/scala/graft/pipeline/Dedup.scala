@@ -99,17 +99,25 @@ object Dedup {
   final val NumHashes = 64
   final val Bands = 16 // 16 bands x 4 rows
 
+  // affine permutation family over the (already well-mixed) shingle hash:
+  // v_f = A_f * x + B_f with odd A_f is a bijection of Z/2^64 — 2 ops per
+  // (shingle, function) instead of a full 9-op mix, and the signature loop
+  // is the whole cost of minhash at corpus scale
+  private val HashA: Array[Long] = Array.tabulate(NumHashes)(f => mix(0xA11CEL + f) | 1L)
+  private val HashB: Array[Long] = Array.tabulate(NumHashes)(f => mix(0xB0BCAFEL + f))
+
   /** MinHash signature: NumHashes independent (a*x+b) permutation mins. */
   def minHashSignature(text: String, k: Int = 5): Array[Long] = {
     val hs = shingleHashes(text.getBytes(UTF_8), k)
     val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val a = HashA
+    val b = HashB
     var i = 0
     while (i < hs.length) {
       val x = hs(i)
       var f = 0
       while (f < NumHashes) {
-        // deterministic per-function mix; odd multiplier keeps it a bijection
-        val v = mix(x ^ (0xA5A5A5A5L * (f + 1)))
+        val v = a(f) * x + b(f)
         if (v < sig(f)) sig(f) = v
         f += 1
       }

@@ -130,12 +130,13 @@ object EncodeJob {
     } else {
       // narrow pre-encode of the two heavy columns BEFORE the exchange;
       // each value becomes varint(rawLen) ++ textEncode(bytes)
+      val bias = cfg.bwtBias
       val pre = todo
         .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
         .mapPartitions { it =>
           it.map { case (url, ts, html, text, lang, pid) =>
-            (url, ts, preEncodeValue(html),
-              preEncodeValue(if (text == null) null else text.getBytes(UTF_8)),
+            (url, ts, preEncodeValue(html, bias),
+              preEncodeValue(if (text == null) null else text.getBytes(UTF_8), bias),
               lang, pid)
           }
         }
@@ -166,10 +167,16 @@ object EncodeJob {
     spark.createDataset(records)
   }
 
-  /** Map-side pre-encoding of one value: varint(rawLen) ++ textEncode. */
-  private[spark] def preEncodeValue(raw: Array[Byte]): Array[Byte] = {
+  /** Map-side pre-encoding of one value: varint(rawLen) ++ textEncode.
+    * `bwtBias <= 0` is the speed-biased policy point: skip the BWT pipeline
+    * entirely and emit the order-0-Huffman/raw tagged form (~6x the encode
+    * throughput at a weaker ratio — measured rows in BENCH/BASELINE.md).
+    */
+  private[spark] def preEncodeValue(raw: Array[Byte], bwtBias: Double = 1.0): Array[Byte] = {
     if (raw == null) return null
-    val enc = graft.codec.Pipelines.textEncode(raw)
+    val enc =
+      if (bwtBias <= 0.0) graft.codec.Pipelines.textEncodeFast(raw)
+      else graft.codec.Pipelines.textEncode(raw)
     val buf = new graft.codec.Bytes.Buf(enc.length + 5)
     buf.writeVarInt(raw.length)
     buf.writeBytes(enc)

@@ -180,6 +180,15 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(bytesIn == expected, s"bytes_in $bytesIn vs $expected")
   }
 
+  test("speed-biased encode (bwtBias=0, no BWT) is still bit-identical") {
+    val out = tmpDir("speedbias")
+    val pages = PagesGen.generate(spark, 150, partitions = 4)
+    EncodeJob.run(spark, pages, out,
+      EncodeConfig(numPartitions = 4, chunkRows = 64, bwtBias = 0.0))
+    val report = VerifyJob.run(spark, pages, out)
+    assert(report.mismatched_rows == 0 && report.except_violations == 0)
+  }
+
   test("salting spreads skewed url-hosts across partitions") {
     import org.apache.spark.sql.functions._
     val skewed = PagesGen.generate(spark, 2000, hostSkew = true, partitions = 4)
