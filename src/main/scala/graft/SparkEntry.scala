@@ -233,8 +233,13 @@ object SparkEntry {
       Dedup.minHashPairs(s, docsKT(s, dir), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // maxBucket is raised to "pathological-only" here: the DuckDB oracle
+    // is the complete all-pairs hamming answer, which the banded join
+    // equals exactly as long as no plausible bucket is capped away
+    // (pigeonhole guarantees recall; the cap is tested in PipelineSpec)
     "q21_simhash_pairs" -> { (s, dir) =>
-      Dedup.simHashPairs(s, docsKT(s, dir), maxHamming = 8)
+      Dedup.simHashPairs(s, docsKT(s, dir), maxHamming = 8, maxBucket = 1 << 20)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     },
     // q22 verifies the exact-jaccard stage against a DuckDB oracle, so the
@@ -505,6 +510,8 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, SUM(term) % 2305843009213693951 AS fp FROM terms GROUP BY doc_id) t
         |  ON d.doc_id = t.doc_id""".stripMargin,
+    "q20_minhash_pairs" -> OracleSql.q20MinhashPairs,
+    "q21_simhash_pairs" -> OracleSql.q21SimhashPairs,
     "q26_fm_search_multi" ->
       """SELECT d.doc_id, p.pattern,
         |  CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) // length(p.pattern) AS BIGINT) AS cnt,
@@ -512,8 +519,8 @@ object SparkEntry {
         |       THEN CAST(octet_length(encode(substr(d.text, 1, strpos(d.text, p.pattern) - 1))) + 1 AS BIGINT)
         |  END AS first_pos
         |FROM documents d CROSS JOIN (VALUES ('data'), ('the'), ('ing')) p(pattern)""".stripMargin
-    // q20/q21/q25: not SQL-expressible (minhash/simhash banding, RHP-LSH
-    // bucketing) -> driver rows-only check; verified by brute-force
-    // property tests in DedupSpec/SimilaritySpec instead
+    // q25: not SQL-expressible (RHP-LSH bucketing over float dot products)
+    // -> driver rows-only check; verified by rank/cosine property tests in
+    // PipelineSpec instead
   )
 }
