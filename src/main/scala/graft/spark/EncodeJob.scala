@@ -52,7 +52,14 @@ final case class EncodeConfig(
     // option for those two columns (per-doc best-of still floors at raw,
     // so the <=-reference size gate is untouched). Set false to shuffle
     // raw rows and keep every chunk-level codec option.
-    mapSidePreEncode: Boolean = true
+    mapSidePreEncode: Boolean = true,
+    // sort (part_id, url) with Catalyst's spillable Tungsten sort and
+    // stream the kernel over the sorted iterator (default): task memory is
+    // O(chunkRows), so a partition larger than executor memory still
+    // encodes — the property that matters when 100 TB / numPartitions
+    // stops fitting in heap. Set false for the round-1 in-kernel sort
+    // (buffers the whole partition; one less whole-stage pass).
+    spillSafeSort: Boolean = true
 )
 
 /** The north-rule batch encode: pages -> salted explicit hash partitioning
@@ -140,9 +147,17 @@ object EncodeJob {
               lang, pid)
           }
         }
-      pre
-        .repartition(cfg.numPartitions, $"_6")
-        .mapPartitions { it =>
+      val shuffled = pre.repartition(cfg.numPartitions, $"_6")
+      if (cfg.spillSafeSort)
+        // Catalyst (Tungsten) sort spills to disk when a partition exceeds
+        // task memory; the streaming kernel then holds only one chunk
+        shuffled
+          .sortWithinPartitions($"_6", $"_1")
+          .mapPartitions { it =>
+            encodePreEncodedSorted(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+          }
+      else
+        shuffled.mapPartitions { it =>
           encodePreEncodedPartition(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
         }
     }
@@ -183,9 +198,101 @@ object EncodeJob {
     buf.toArray
   }
 
-  /** Kernel for the pre-encoded path: html/text arrive as per-doc payloads
-    * and are containerized (BwtBin layout + optional null bitmap + Huffman
-    * wrap) without re-encoding; url/lang/warc_ts take the normal path.
+  private type PreRow = (String, java.sql.Timestamp, Array[Byte], Array[Byte], String)
+
+  /** Container in BwtBin layout over pre-encoded values (+ null bitmap +
+    * Huffman wrap when they pay for themselves); one chunk row.
+    */
+  private def containerizePre(pid: Int, cid: Int, name: String, pre: Array[Array[Byte]]): EncodedChunk = {
+    import graft.codec.{Bytes, ColumnCodec}
+    var rawBytes = 0L
+    val bodies = new Array[Array[Byte]](pre.length)
+    var i = 0
+    while (i < pre.length) {
+      if (pre(i) != null) {
+        val rd = new Bytes.Reader(pre(i))
+        rawBytes += rd.readVarLong()
+        bodies(i) = java.util.Arrays.copyOfRange(pre(i), rd.pos, pre(i).length)
+      }
+      i += 1
+    }
+    val hasNull = bodies.exists(_ == null)
+    val inner = {
+      val buf = new Bytes.Buf()
+      buf.writeByte(ColumnCodec.BwtBin)
+      buf.writeVarInt(bodies.length)
+      val emptyEnc = graft.codec.Pipelines.textEncode(Array.emptyByteArray)
+      bodies.foreach { b =>
+        val v = if (b == null) emptyEnc else b // null slot: canonical empty
+        buf.writeVarInt(v.length)
+        buf.writeBytes(v)
+      }
+      buf.toArray
+    }
+    val withNulls = if (!hasNull) inner else {
+      val bitmap = new Array[Byte]((bodies.length + 7) / 8)
+      var j = 0
+      while (j < bodies.length) {
+        if (bodies(j) == null) bitmap(j >> 3) = (bitmap(j >> 3) | (1 << (j & 7))).toByte
+        j += 1
+      }
+      val buf = new Bytes.Buf(inner.length + bitmap.length + 8)
+      buf.writeByte(ColumnCodec.NullWrap)
+      buf.writeVarInt(bodies.length)
+      buf.writeBytes(bitmap)
+      buf.writeBytes(inner)
+      buf.toArray
+    }
+    val payload = {
+      val huf = graft.codec.Huffman.compress(withNulls)
+      if (huf.length + 1 < withNulls.length) {
+        val out = new Array[Byte](huf.length + 1)
+        out(0) = ColumnCodec.HufWrap.toByte
+        System.arraycopy(huf, 0, out, 1, huf.length)
+        out
+      } else withNulls
+    }
+    EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
+      pre.length, rawBytes, payload.length.toLong, fnv1a(payload), payload)
+  }
+
+  /** The 5 column chunks of one pre-encoded row slice. */
+  private def preEncodedChunkColumns(
+      pid: Int,
+      cid: Int,
+      chunk: scala.collection.Seq[PreRow],
+      bwtBias: Double
+  ): Seq[EncodedChunk] = {
+    val urls = chunk.map { r =>
+      require(r._1 != null && r._2 != null, "null url/warc_ts")
+      r._1.getBytes(UTF_8)
+    }.toArray
+    val tss = chunk.map { r =>
+      Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
+    }.toArray
+    val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
+    def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
+      val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
+      EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
+        values.length,
+        values.map(v => if (v == null) 0L else v.length.toLong).sum,
+        payload.length.toLong, fnv1a(payload), payload)
+    }
+    val tsPayload = ColumnCodec.encodeLong(tss)
+    Seq(
+      bin("url", urls),
+      EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
+        tss.length, tss.length * 8L, tsPayload.length.toLong,
+        fnv1a(tsPayload), tsPayload),
+      containerizePre(pid, cid, "html", chunk.map(_._3).toArray),
+      containerizePre(pid, cid, "text", chunk.map(_._4).toArray),
+      bin("lang", langs)
+    )
+  }
+
+  /** Buffering kernel for the pre-encoded path (spillSafeSort = false):
+    * groups and sorts in the task heap — one less whole-stage pass, but
+    * task memory scales with the partition.
     */
   private[spark] def encodePreEncodedPartition(
       it: Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)],
@@ -193,95 +300,16 @@ object EncodeJob {
       onPartDone: LineageRecord => Unit,
       bwtBias: Double
   ): Iterator[EncodedChunk] = {
-    import graft.codec.{Bytes, ColumnCodec}
     val byPart = scala.collection.mutable.LinkedHashMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String)]]
+      .empty[Int, scala.collection.mutable.ArrayBuffer[PreRow]]
     it.foreach { case (url, ts, html, text, lang, pid) =>
       byPart.getOrElseUpdate(pid, scala.collection.mutable.ArrayBuffer.empty) +=
         ((url, ts, html, text, lang))
     }
-
-    // container in BwtBin layout over pre-encoded values; returns chunk row
-    def containerize(pid: Int, cid: Int, name: String, pre: Array[Array[Byte]]): EncodedChunk = {
-      var rawBytes = 0L
-      val bodies = new Array[Array[Byte]](pre.length)
-      var i = 0
-      while (i < pre.length) {
-        if (pre(i) != null) {
-          val rd = new Bytes.Reader(pre(i))
-          rawBytes += rd.readVarLong()
-          bodies(i) = java.util.Arrays.copyOfRange(pre(i), rd.pos, pre(i).length)
-        }
-        i += 1
-      }
-      val hasNull = bodies.exists(_ == null)
-      val inner = {
-        val buf = new Bytes.Buf()
-        buf.writeByte(ColumnCodec.BwtBin)
-        buf.writeVarInt(bodies.length)
-        val emptyEnc = graft.codec.Pipelines.textEncode(Array.emptyByteArray)
-        bodies.foreach { b =>
-          val v = if (b == null) emptyEnc else b // null slot: canonical empty
-          buf.writeVarInt(v.length)
-          buf.writeBytes(v)
-        }
-        buf.toArray
-      }
-      val withNulls = if (!hasNull) inner else {
-        val bitmap = new Array[Byte]((bodies.length + 7) / 8)
-        var j = 0
-        while (j < bodies.length) {
-          if (bodies(j) == null) bitmap(j >> 3) = (bitmap(j >> 3) | (1 << (j & 7))).toByte
-          j += 1
-        }
-        val buf = new Bytes.Buf(inner.length + bitmap.length + 8)
-        buf.writeByte(ColumnCodec.NullWrap)
-        buf.writeVarInt(bodies.length)
-        buf.writeBytes(bitmap)
-        buf.writeBytes(inner)
-        buf.toArray
-      }
-      val payload = {
-        val huf = graft.codec.Huffman.compress(withNulls)
-        if (huf.length + 1 < withNulls.length) {
-          val out = new Array[Byte](huf.length + 1)
-          out(0) = ColumnCodec.HufWrap.toByte
-          System.arraycopy(huf, 0, out, 1, huf.length)
-          out
-        } else withNulls
-      }
-      EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-        pre.length, rawBytes, payload.length.toLong, fnv1a(payload), payload)
-    }
-
     byPart.iterator.flatMap { case (pid, rows0) =>
       val rows = rows0.sortBy(_._1)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
-        val urls = chunk.map { r =>
-          require(r._1 != null && r._2 != null, "null url/warc_ts")
-          r._1.getBytes(UTF_8)
-        }.toArray
-        val tss = chunk.map { r =>
-          Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
-        }.toArray
-        val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
-        def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
-          val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
-          EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-            values.length,
-            values.map(v => if (v == null) 0L else v.length.toLong).sum,
-            payload.length.toLong, fnv1a(payload), payload)
-        }
-        val tsPayload = ColumnCodec.encodeLong(tss)
-        Seq(
-          bin("url", urls),
-          EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
-            tss.length, tss.length * 8L, tsPayload.length.toLong,
-            fnv1a(tsPayload), tsPayload),
-          containerize(pid, cid, "html", chunk.map(_._3).toArray),
-          containerize(pid, cid, "text", chunk.map(_._4).toArray),
-          bin("lang", langs)
-        )
+        preEncodedChunkColumns(pid, cid, chunk, bwtBias)
       }.toVector
       onPartDone(LineageRecord(
         part_id = pid,
@@ -296,6 +324,81 @@ object EncodeJob {
       partChunks
     }
   }
+
+  /** Streaming kernel for the pre-encoded path (spillSafeSort = true, the
+    * default): rows arrive already sorted by (part_id, url) from
+    * Catalyst's spillable sort, so the kernel only ever holds one chunk
+    * (chunkRows rows) plus O(1) lineage counters — a partition larger
+    * than executor memory still encodes. Chunk layout is identical to the
+    * buffering kernel (same sort key, same slicing).
+    */
+  private[spark] def encodePreEncodedSorted(
+      it: Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)],
+      chunkRows: Int,
+      onPartDone: LineageRecord => Unit,
+      bwtBias: Double
+  ): Iterator[EncodedChunk] = new Iterator[Seq[EncodedChunk]] {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[PreRow]
+    private var curPid = Int.MinValue
+    private var cid = 0
+    // per-part lineage aggregates
+    private var rows = 0L
+    private var bytesIn = 0L
+    private var bytesOut = 0L
+    private var hash = 0L
+    private val codecs = scala.collection.mutable.SortedSet.empty[String]
+    private var pendingLineagePid = Int.MinValue
+
+    private def flushChunk(): Seq[EncodedChunk] = {
+      val out = preEncodedChunkColumns(curPid, cid, buf, bwtBias)
+      cid += 1
+      rows += buf.length
+      out.foreach { c =>
+        bytesIn += c.bytes_in
+        bytesOut += c.bytes_out
+        hash ^= c.payload_hash
+        codecs += s"${c.col_name}=${c.codec}"
+      }
+      buf.clear()
+      out
+    }
+
+    private def closePart(): Unit = {
+      if (curPid != Int.MinValue) {
+        onPartDone(LineageRecord(curPid, rows, cid.toLong, bytesIn, bytesOut,
+          codecs.mkString(","), hash, "done"))
+      }
+      cid = 0; rows = 0L; bytesIn = 0L; bytesOut = 0L; hash = 0L; codecs.clear()
+    }
+
+    // the third disjunct keeps the iterator alive when input ended exactly
+    // on a chunk boundary but the last part's lineage is still unemitted
+    def hasNext: Boolean = it.hasNext || buf.nonEmpty || curPid != Int.MinValue
+
+    def next(): Seq[EncodedChunk] = {
+      while (it.hasNext) {
+        val (url, ts, html, text, lang, pid) = it.next()
+        if (pid != curPid) {
+          if (buf.nonEmpty) {
+            val out = flushChunk()
+            closePart()
+            curPid = pid
+            buf += ((url, ts, html, text, lang))
+            return out
+          }
+          closePart()
+          curPid = pid
+        }
+        buf += ((url, ts, html, text, lang))
+        if (buf.length == chunkRows) return flushChunk()
+      }
+      // input exhausted: flush the tail chunk and close the last part
+      val out = if (buf.nonEmpty) flushChunk() else Seq.empty
+      closePart()
+      curPid = Int.MinValue
+      out
+    }
+  }.flatten
 
   /** FNV-1a 64-bit (public domain) — deterministic payload fingerprint. */
   def fnv1a(bytes: Array[Byte]): Long = {

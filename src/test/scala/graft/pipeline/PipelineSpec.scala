@@ -112,6 +112,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("composition: minhash candidates -> exact ngram-jaccard verification") {
+    val base = synthDoc(3, words = 150)
+    val near = base.split(' ').zipWithIndex
+      .map { case (w, j) => if (j % 50 == 25) "swapped" else w }.mkString(" ")
+    val docs = Seq(0L -> base, 1L -> near) ++
+      (2L until 15L).map(i => i -> synthDoc(i.toInt + 40, words = 150))
+    val cands = Dedup.minHashPairs(spark, docsDs(docs), threshold = 0.4)
+      .select(org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"))
+    val verified = Dedup.ngramJaccard(spark, docsDs(docs), cands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.contains((0L, 1L)), s"planted pair missing from $verified")
+    assert(verified((0L, 1L)) > 0.8) // 3 token edits in 150 words
+  }
+
   test("bruteForceTopK: heap merge equals naive global sort incl. tie-break") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map { i =>

@@ -180,6 +180,29 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(bytesIn == expected, s"bytes_in $bytesIn vs $expected")
   }
 
+  test("streaming (spill-safe) kernel emits identical chunks + lineage to the buffering kernel") {
+    // exercise chunk boundaries: 96 rows / 32-row chunks = exact multiple,
+    // plus a second config with a ragged tail
+    Seq(96 -> 32, 100 -> 32).foreach { case (nRows, chunkRows) =>
+      val pages = PagesGen.generate(spark, nRows, partitions = 3)
+      def runWith(spill: Boolean): (Map[(Int, Int, String), Long], Map[Int, (Long, Long, Long)]) = {
+        val out = tmpDir(s"spill_$spill${nRows}")
+        val rep = EncodeJob.run(spark, pages, out,
+          EncodeConfig(numPartitions = 3, chunkRows = chunkRows, spillSafeSort = spill))
+        val chunks = spark.read.parquet(EncodeJob.chunksPath(out))
+          .select("part_id", "chunk_id", "col_name", "payload_hash")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+        val lineage = rep.collect().map(l => l.part_id -> ((l.n_rows, l.bytes_out, l.payload_hash))).toMap
+        (chunks, lineage)
+      }
+      val (cs, ls) = runWith(true)
+      val (cb, lb) = runWith(false)
+      assert(cs == cb, s"chunk payloads differ (nRows=$nRows)")
+      assert(ls == lb, s"lineage differs (nRows=$nRows)")
+    }
+  }
+
   test("speed-biased encode (bwtBias=0, no BWT) is still bit-identical") {
     val out = tmpDir("speedbias")
     val pages = PagesGen.generate(spark, 150, partitions = 4)
