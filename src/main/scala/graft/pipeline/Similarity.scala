@@ -153,8 +153,17 @@ object Similarity {
     sig
   }
 
-  /** Bucketed ANN: candidates share at least one signature band with the
-    * query; exact cosine + top-k within candidates.
+  /** Bucketed ANN: candidates match at least one signature band of the
+    * query within `multiProbe` flipped bits; exact cosine + top-k within
+    * candidates.
+    *
+    * Recall/cost knob: multiProbe=0 is the exact-band match (cheapest,
+    * recall only for very similar vectors); each +1 probes all
+    * one-more-bit-away buckets of every band. At cos≈0.9 neighbors,
+    * (bands=4, bits=8, multiProbe=1) measures >=0.8 recall@k on planted
+    * clusters (SimilaritySpec); exact-band drops to ~0.1 on weakly
+    * similar data — the brute-force operator is the exact baseline, this
+    * one is the sublinear scale path for strong-similarity workloads.
     */
   def lshTopK(
       spark: SparkSession,
@@ -162,7 +171,8 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       bands: Int = 4,
-      bitsPerBand: Int = 8
+      bitsPerBand: Int = 8,
+      multiProbe: Int = 1
   ): DataFrame = {
     import spark.implicits._
     val banded = vectors.flatMap { case (id, vec) =>
@@ -180,11 +190,12 @@ object Similarity {
 
     val cands = banded.as[(Int, Long, Long)].mapPartitions { it =>
       val qs = bc.value
+      val mask = (1L << bitsPerBand) - 1
       it.flatMap { case (band, bucket, id) =>
         qs.iterator.collect {
           case (qid, _, qsig)
               if qid != id &&
-                ((qsig >>> (band * bitsPerBand)) & ((1L << bitsPerBand) - 1)) == bucket =>
+                java.lang.Long.bitCount(((qsig >>> (band * bitsPerBand)) & mask) ^ bucket) <= multiProbe =>
             (qid, id)
         }
       }

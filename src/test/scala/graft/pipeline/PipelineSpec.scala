@@ -171,6 +171,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopK recall: >=0.8 of exact top-k recovered on planted clusters") {
+    // 20 clusters of 8 vectors each: cluster members are small perturbations
+    // of a shared centroid (cos >= ~0.95), so true neighbors are IN-cluster
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 20).flatMap { c =>
+      val centroid = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (0 until 8).map { m =>
+        val v = centroid.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.12f)
+        ((c * 8 + m).toLong, v)
+      }
+    }
+    import spark.implicits._
+    val ds = spark.createDataset(vecs).repartition(4)
+    val queryIds = Seq(0L, 8L, 24L, 80L, 152L)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(spark, ds, queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, ds, queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@$k = $recall (exact=$exact lsh=$lsh)")
+  }
+
   test("textEncode outlier gate: oversized value bypasses BWT and roundtrips") {
     val big = new Array[Byte](graft.codec.ColumnCodec.MaxBwtDocBytes + 1024)
     val rnd = new scala.util.Random(3)
