@@ -165,6 +165,20 @@ est AS (
 )
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3"""
 
+  /** Per-document simhash value as a signed BIGINT — the q21 pipeline cut
+    * before pair formation, for the graft_simhash SQL-surface query.
+    */
+  def q32SqlSimhash: String = {
+    val cut = q21SimhashPairs.lastIndexOf("SELECT a.doc_id AS id_a")
+    require(cut > 0, "q21 oracle shape changed; fix the q32 derivation")
+    q21SimhashPairs.substring(0, cut) +
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808
+        |       THEN CAST(h AS HUGEINT) - 18446744073709551616
+        |       ELSE CAST(h AS HUGEINT) END AS BIGINT) AS sh
+        |FROM sh""".stripMargin
+  }
+
   val q21SimhashPairs: String = """WITH RECURSIVE maxlen AS (
   SELECT MAX(length(tok)) AS m FROM (
     SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

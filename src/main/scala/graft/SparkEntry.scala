@@ -323,6 +323,21 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_decode(graft_encode(text)) AS text_rt FROM documents")
     },
 
+    // --- SQL surface, part 2: FM count + simhash as native expressions
+    "q31_sql_fm_count" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id,
+              |       graft_fm_count(text, 'en') AS cnt_en,
+              |       graft_fm_count(text, 'zqxj') AS cnt_rare
+              |FROM documents""".stripMargin)
+    },
+    "q32_sql_simhash" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
+    },
+
     // --- distributed FM search over the whole corpus (SearchJob surface)
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
@@ -512,6 +527,14 @@ object SparkEntry {
         |  ON d.doc_id = t.doc_id""".stripMargin,
     "q20_minhash_pairs" -> OracleSql.q20MinhashPairs,
     "q21_simhash_pairs" -> OracleSql.q21SimhashPairs,
+    "q31_sql_fm_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) - length(replace(text, 'en', '')) > 0
+        |       THEN CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) END AS cnt_en,
+        |  CASE WHEN length(text) - length(replace(text, 'zqxj', '')) > 0
+        |       THEN CAST((length(text) - length(replace(text, 'zqxj', ''))) / 4 AS BIGINT) END AS cnt_rare
+        |FROM documents""".stripMargin,
+    "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
     "q26_fm_search_multi" ->
       """SELECT d.doc_id, p.pattern,
         |  CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) // length(p.pattern) AS BIGINT) AS cnt,

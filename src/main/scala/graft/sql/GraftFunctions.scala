@@ -47,6 +47,18 @@ object GraftFunctions {
     h
   }
 
+  /** FM-index backward-search count; null (the reference's Nothing, not
+    * Just 0) when the pattern does not occur. Builds the per-row index —
+    * the one-shot SQL form; amortized search belongs to IndexJob.
+    */
+  def fmCount(text: UTF8String, pattern: UTF8String): java.lang.Long =
+    graft.codec.FmIndex.build(text.getBytes).count(pattern.getBytes) match {
+      case Some(n) => java.lang.Long.valueOf(n.toLong)
+      case None    => null
+    }
+
+  def simhash(s: UTF8String): Long = graft.pipeline.Dedup.simHash(s.toString)
+
   abstract class GraftUnary extends UnaryExpression with Serializable {
     protected def staticCall: String
     protected def expectedInput: DataType
@@ -89,10 +101,45 @@ object GraftFunctions {
       copy(child = newChild)
   }
 
+  case class GraftSimhash(child: Expression) extends GraftUnary {
+    override def dataType: DataType = LongType
+    override protected def expectedInput: DataType = StringType
+    override protected def staticCall = "simhash"
+    override protected def nullSafeEval(input: Any): Any =
+      simhash(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class GraftFmCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // no match -> null (reference: Nothing, never Just 0)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_fm_count expects (string, string), got (${left.dataType}, ${right.dataType})")
+    override protected def nullSafeEval(t: Any, p: Any): Any =
+      fmCount(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String]) // may be null
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, p) => {
+        val tmp = ctx.freshName("fmcnt")
+        s"""
+           |java.lang.Long $tmp = graft.sql.GraftFunctions.fmCount($t, $p);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_encode" -> (args => GraftEncode(args.head)),
     "graft_decode" -> (args => GraftDecode(args.head)),
-    "graft_fingerprint" -> (args => GraftFingerprint(args.head))
+    "graft_fingerprint" -> (args => GraftFingerprint(args.head)),
+    "graft_simhash" -> (args => GraftSimhash(args.head)),
+    "graft_fm_count" -> (args => GraftFmCount(args(0), args(1)))
   )
 
   /** Programmatic registration (idempotent) for sessions we don't build
@@ -129,6 +176,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo("graft.sql.GraftFunctions", "graft_fingerprint"),
       (args: Seq[Expression]) => GraftFunctions.GraftFingerprint(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_simhash"),
+      (args: Seq[Expression]) => GraftFunctions.GraftSimhash(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fm_count"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_fm_count"),
+      (args: Seq[Expression]) => GraftFunctions.GraftFmCount(args(0), args(1))
     ))
   }
 }

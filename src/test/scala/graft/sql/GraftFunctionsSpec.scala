@@ -29,6 +29,34 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_fm_count: values match FmIndex; no-match is NULL, never 0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq((1L, "abracadabra"), (2L, "no such pattern here"), (3L, "aaaa"))
+    texts.toDF("id", "text").createOrReplaceTempView("t_fmc")
+    val rows = spark.sql(
+      "SELECT id, graft_fm_count(text, 'a') AS ca, graft_fm_count(text, 'zzz') AS cz FROM t_fmc"
+    ).collect().sortBy(_.getLong(0))
+    texts.zip(rows).foreach { case ((_, t), r) =>
+      val fm = graft.codec.FmIndex.build(t.getBytes("UTF-8"))
+      assert(Option(if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+        .map(_.toInt) == fm.count("a".getBytes("UTF-8")))
+      assert(r.isNullAt(2), "absent pattern must be NULL (reference Nothing), not 0")
+    }
+  }
+
+  test("graft_simhash matches the pipeline simHash") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq((1L, "the quick brown fox"), (2L, "a a a b"), (3L, ""))
+    texts.toDF("id", "text").createOrReplaceTempView("t_sh")
+    val rows = spark.sql("SELECT id, graft_simhash(text) AS sh FROM t_sh")
+      .collect().sortBy(_.getLong(0))
+    texts.zip(rows).foreach { case ((_, t), r) =>
+      assert(r.getLong(1) == graft.pipeline.Dedup.simHash(t))
+    }
+  }
+
   test("type checking rejects wrong input types") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {
