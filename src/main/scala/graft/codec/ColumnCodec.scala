@@ -198,13 +198,15 @@ object ColumnCodec {
     * pass; never chosen when it loses, so strictly monotone on size.
     */
   private def hufWrapIfSmaller(payload: Array[Byte]): Array[Byte] = {
-    val huf = Huffman.compress(payload)
-    if (huf.length + 1 < payload.length) {
-      val out = new Array[Byte](huf.length + 1)
-      out(0) = HufWrap.toByte
-      System.arraycopy(huf, 0, out, 1, huf.length)
-      out
-    } else payload
+    // exact-size precheck: the encode pass only runs when the wrap wins
+    val freq = Huffman.histogram(payload)
+    val lens = Huffman.codeLengths(freq)
+    if (Huffman.compressedSize(freq, lens, payload.length) + 1 >= payload.length) return payload
+    val huf = Huffman.compressWith(payload, lens)
+    val out = new Array[Byte](huf.length + 1)
+    out(0) = HufWrap.toByte
+    System.arraycopy(huf, 0, out, 1, huf.length)
+    out
   }
 
   def decodeBinary(payload: Array[Byte]): Array[Array[Byte]] = {

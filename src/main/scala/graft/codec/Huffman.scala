@@ -94,10 +94,37 @@ object Huffman {
     codes
   }
 
-  def compress(data: Array[Byte]): Array[Byte] = {
+  /** Byte histogram of `data` (one pass). */
+  def histogram(data: Array[Byte]): Array[Long] = {
     val freq = new Array[Long](256)
-    data.foreach(b => freq(b & 0xFF) += 1)
-    val lens = codeLengths(freq)
+    var i = 0
+    while (i < data.length) { freq(data(i) & 0xFF) += 1; i += 1 }
+    freq
+  }
+
+  /** EXACT size compress() would produce, without encoding: varint(len)
+    * header + 128 length bytes + the code-weighted bit count. Lets
+    * wrap-if-smaller call sites skip the encode pass (and the output
+    * allocation) for payloads the wrap would not shrink — most
+    * already-entropy-coded inputs.
+    */
+  def compressedSize(freq: Array[Long], lens: Array[Int], dataLen: Int): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < 256) { bits += freq(i) * lens(i); i += 1 }
+    val varIntLen =
+      if (dataLen == 0) 1
+      else (63 - java.lang.Long.numberOfLeadingZeros(dataLen.toLong)) / 7 + 1
+    varIntLen + 128L + (bits + 7) / 8
+  }
+
+  def compress(data: Array[Byte]): Array[Byte] =
+    compressWith(data, codeLengths(histogram(data)))
+
+  /** Encode with precomputed code lengths (from [[codeLengths]] of the
+    * data's own histogram — a foreign table would corrupt).
+    */
+  def compressWith(data: Array[Byte], lens: Array[Int]): Array[Byte] = {
     val codes = canonicalCodes(lens)
 
     val buf = new Bytes.Buf(data.length / 2 + 140)

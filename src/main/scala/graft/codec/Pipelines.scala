@@ -122,8 +122,15 @@ object Pipelines {
     val bwt = BwtCodec.encode(value) // one SA build, all candidates reuse it
     val a = mtfRleSerialize(MtfCodec.encode(bwt))
     val b = RleCodec.serialize(RleCodec.encode(bwt))
-    val h = Huffman.compress(a) // entropy stage over the MTF+RLE stream
-    val candidates = Seq(0 -> a, 1 -> b, 2 -> value, 3 -> h)
+    // entropy stage over the MTF+RLE stream: exact-size precheck so the
+    // encode pass only runs when tag 3 would actually win
+    val freq = Huffman.histogram(a)
+    val lens = Huffman.codeLengths(freq)
+    val hSize = Huffman.compressedSize(freq, lens, a.length)
+    val others = math.min(math.min(a.length, b.length), value.length)
+    val candidates =
+      if (hSize < others) Seq(0 -> a, 1 -> b, 2 -> value, 3 -> Huffman.compressWith(a, lens))
+      else Seq(0 -> a, 1 -> b, 2 -> value)
     val (bestTag, best) = candidates.minBy { case (tag, body) => (body.length, tag) }
     val out = new Array[Byte](best.length + 1)
     out(0) = bestTag.toByte
@@ -137,8 +144,12 @@ object Pipelines {
     * the BWT pipeline at a weaker ratio (see BENCH/BASELINE.md bias rows).
     */
   def textEncodeFast(value: Array[Byte]): Array[Byte] = {
-    val h = Huffman.compress(value)
-    val (tag, body) = if (h.length < value.length) (4, h) else (2, value)
+    val freq = Huffman.histogram(value)
+    val lens = Huffman.codeLengths(freq)
+    val (tag, body) =
+      if (Huffman.compressedSize(freq, lens, value.length) < value.length)
+        (4, Huffman.compressWith(value, lens))
+      else (2, value)
     val out = new Array[Byte](body.length + 1)
     out(0) = tag.toByte
     System.arraycopy(body, 0, out, 1, body.length)

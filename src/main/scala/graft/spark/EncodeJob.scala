@@ -244,13 +244,19 @@ object EncodeJob {
       buf.toArray
     }
     val payload = {
-      val huf = graft.codec.Huffman.compress(withNulls)
-      if (huf.length + 1 < withNulls.length) {
+      // exact-size precheck: container bodies are mostly already
+      // entropy-coded, so the wrap rarely wins — don't pay its encode pass
+      val freq = graft.codec.Huffman.histogram(withNulls)
+      val lens = graft.codec.Huffman.codeLengths(freq)
+      if (graft.codec.Huffman.compressedSize(freq, lens, withNulls.length) + 1 >= withNulls.length)
+        withNulls
+      else {
+        val huf = graft.codec.Huffman.compressWith(withNulls, lens)
         val out = new Array[Byte](huf.length + 1)
         out(0) = ColumnCodec.HufWrap.toByte
         System.arraycopy(huf, 0, out, 1, huf.length)
         out
-      } else withNulls
+      }
     }
     EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
       pre.length, rawBytes, payload.length.toLong, fnv1a(payload), payload)
