@@ -338,6 +338,33 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
     },
 
+    // --- Structured Streaming ingest: documents arrive as micro-batches,
+    // each encoded through the batch kernel (foreachBatch), decoded back
+    // and compared against the identity oracle. The collect below is a
+    // test-harness stream feeder (MemoryStream), not a dataflow pattern.
+    "q33_streaming_encode" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).select($"doc_id", $"text").as[(Long, String)].collect()
+      val pages = rows.map { case (id, t) =>
+        graft.spark.Page(s"https://stream.test/$id", new java.sql.Timestamp(0L), null, t, null)
+      }
+      val out = s"/root/repo/target/stream_encode_${math.abs(dir.hashCode)}"
+      val ckpt = out + "_ckpt"
+      deleteDir(out); deleteDir(ckpt)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.spark.Page]
+      val half = pages.length / 2
+      stream.addData(pages.take(half).toSeq)
+      graft.streaming.StreamingEncodeJob.start(stream.toDS(), out, ckpt,
+        EncodeConfig(numPartitions = 4, chunkRows = 128)).awaitTermination()
+      stream.addData(pages.drop(half).toSeq) // second micro-batch via restart
+      graft.streaming.StreamingEncodeJob.start(stream.toDS(), out, ckpt,
+        EncodeConfig(numPartitions = 4, chunkRows = 128)).awaitTermination()
+      graft.streaming.StreamingEncodeJob.decodeAll(s, out)
+        .map(p => (p.url.substring("https://stream.test/".length).toLong, p.text))
+        .toDF("doc_id", "text_rt")
+    },
+
     // --- distributed FM search over the whole corpus (SearchJob surface)
     "q26_fm_search_multi" -> { (s, dir) =>
       import s.implicits._
@@ -535,6 +562,7 @@ object SparkEntry {
         |       THEN CAST((length(text) - length(replace(text, 'zqxj', ''))) / 4 AS BIGINT) END AS cnt_rare
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
+    "q33_streaming_encode" -> identityTextOracle,
     "q26_fm_search_multi" ->
       """SELECT d.doc_id, p.pattern,
         |  CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) // length(p.pattern) AS BIGINT) AS cnt,

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.spark.{EncodeConfig, EncodeJob, Page}
+
+/** Structured-Streaming ingestion for the encode pipeline: a stream of
+  * pages (file source, Kafka, or any Dataset[Page] stream) is encoded
+  * micro-batch by micro-batch through the SAME batch kernel — `foreachBatch`
+  * hands each batch to [[EncodeJob.run]], so every property of the batch
+  * job (salted partitioning, chunked column codecs, bit-identical decode,
+  * the ≤-reference size gate) holds per batch with zero duplicated code.
+  *
+  * Output layout: `outDir/batch=<id>/` per micro-batch, each with its own
+  * chunks table and `_lineage`. Exactly-once: Spark's streaming checkpoint
+  * guarantees a batch id is delivered once per successful run, and
+  * EncodeJob's own lineage-resume makes a re-delivered batch id (after a
+  * crash mid-batch) idempotent — the two layers together are the streaming
+  * analogue of the batch job's resume contract. Readers treat the batch
+  * dirs as table partitions (`decodeAll` unions them).
+  *
+  * At scale this is the right shape: each micro-batch is an independent
+  * bounded encode job (one salted exchange, partition-local kernels), so
+  * stream throughput scales exactly like the batch job does, and
+  * watermark/state machinery is unnecessary — the encode is stateless
+  * per page.
+  */
+object StreamingEncodeJob {
+
+  def batchDir(outDir: String, batchId: Long): String = s"$outDir/batch=$batchId"
+
+  /** Start the streaming encode. The caller owns the query lifecycle. */
+  def start(
+      pages: Dataset[Page],
+      outDir: String,
+      checkpointDir: String,
+      cfg: EncodeConfig = EncodeConfig(),
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(pages.isStreaming, "StreamingEncodeJob.start needs a streaming Dataset[Page]")
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        EncodeJob.run(batch.sparkSession, batch, batchDir(outDir, batchId), cfg)
+        () // Unit: the lineage dataset is persisted inside the batch dir
+      }
+      .start()
+  }
+
+  /** Decode every committed micro-batch back to pages (batch read). */
+  def decodeAll(spark: SparkSession, outDir: String): Dataset[Page] = {
+    import spark.implicits._
+    val root = new java.io.File(outDir)
+    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getAbsolutePath)
+      .sorted
+    require(batchDirs.nonEmpty, s"no committed batches under $outDir")
+    batchDirs.map(d => graft.spark.DecodeJob.run(spark, d))
+      .reduce(_ union _)
+  }
+}

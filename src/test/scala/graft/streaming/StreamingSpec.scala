@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.spark.{EncodeConfig, Page, PagesGen, TestSpark}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("streaming encode: micro-batches run the batch kernel; decode is bit-identical") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pages = (0 until 120).map(i => PagesGen.page(7L, i.toLong, 120, hostSkew = false))
+    val out = tmp("enc")
+    val ckpt = tmp("ckpt")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 32)
+
+    val stream = MemoryStream[Page]
+    stream.addData(pages.take(70))
+    val q1 = StreamingEncodeJob.start(stream.toDS(), out, ckpt, cfg)
+    q1.awaitTermination()
+
+    // second delivery after a "restart": checkpoint assigns a fresh batch id
+    stream.addData(pages.drop(70))
+    val q2 = StreamingEncodeJob.start(stream.toDS(), out, ckpt, cfg)
+    q2.awaitTermination()
+
+    val decoded = StreamingEncodeJob.decodeAll(spark, out)
+    assert(decoded.count() == 120)
+
+    // bit-identical: join on url, compare every payload column
+    val orig = spark.createDataset(pages)
+    val joined = decoded.toDF("d_url", "d_ts", "d_html", "d_text", "d_lang")
+      .join(orig.toDF("url", "ts", "html", "text", "lang"), $"d_url" === $"url")
+    assert(joined.count() == 120)
+    val mismatches = joined.filter(
+      !($"d_text" <=> $"text") || !($"d_lang" <=> $"lang") ||
+        !($"d_html" <=> $"html") || !($"d_ts" <=> $"ts")).count()
+    assert(mismatches == 0)
+
+    // each micro-batch carries its own lineage table
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch="))
+    assert(batchDirs.length == 2, batchDirs.map(_.getName).mkString(","))
+    batchDirs.foreach { d =>
+      val lineage = spark.read.parquet(
+        graft.spark.EncodeJob.lineagePath(d.getAbsolutePath))
+      assert(lineage.filter($"status" === "done").count() > 0)
+    }
+  }
+}
