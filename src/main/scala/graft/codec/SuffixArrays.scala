@@ -38,28 +38,28 @@ object SuffixArrays {
 
     @inline def sAt(i: Int): Int = if (i == tn) 0 else (t(i) & 0xFF) + 1
 
+    // fused backward pass: type flags + byte histogram + LMS positions
+    // (stashed reversed in sa's tail — sa is not otherwise used before
+    // induceB fills it; saves two extra linear scans)
     val isS = new Array[Boolean](n)
+    val bktSize = new Array[Int](k)
     isS(n - 1) = true
+    bktSize(0) = 1 // sentinel
+    var m = 0
     var i = n - 2
     while (i >= 0) {
       val si = sAt(i)
       val sj = sAt(i + 1)
-      isS(i) = si < sj || (si == sj && isS(i + 1))
+      bktSize(si) += 1
+      val s = si < sj || (si == sj && isS(i + 1))
+      isS(i) = s
+      if (!s && isS(i + 1)) { m += 1; sa(n - m) = i + 1 } // i+1 is LMS
       i -= 1
     }
-
-    val bktSize = new Array[Int](k)
-    i = 0
-    while (i < n) { bktSize(sAt(i)) += 1; i += 1 }
     val bkt = new Array[Int](k)
-
-    var m = 0
-    i = 1
-    while (i < n) { if (isS(i) && !isS(i - 1)) m += 1; i += 1 }
     val lmsPos = new Array[Int](m)
-    var w = 0
-    i = 1
-    while (i < n) { if (isS(i) && !isS(i - 1)) { lmsPos(w) = i; w += 1 }; i += 1 }
+    i = 0
+    while (i < m) { lmsPos(i) = sa(n - m + i); i += 1 } // back to text order
 
     def induceB(lms: Array[Int], mm: Int): Unit = {
       java.util.Arrays.fill(sa, -1)
@@ -104,7 +104,7 @@ object SuffixArrays {
     induceB(lmsPos, m)
 
     val sortedLms = new Array[Int](m)
-    w = 0
+    var w = 0
     i = 0
     while (i < n) {
       val p = sa(i)
@@ -210,30 +210,27 @@ object SuffixArrays {
     if (n == 1) { sa(0) = 0; return sa }
     if (n == 2) { sa(0) = 1; sa(1) = 0; return sa } // s(1)==0 is sentinel
 
-    // type flags: true = S-type
+    // fused backward pass: type flags + histogram + LMS positions
+    // (stashed reversed in sa's tail, exactly as in the byte level)
     val isS = new Array[Boolean](n)
+    val bktSize = new Array[Int](k)
     isS(n - 1) = true
+    bktSize(s(n - 1)) += 1
+    var m = 0
     var i = n - 2
     while (i >= 0) {
       val si = s(i)
       val sj = s(i + 1)
-      isS(i) = si < sj || (si == sj && isS(i + 1))
+      bktSize(si) += 1
+      val st = si < sj || (si == sj && isS(i + 1))
+      isS(i) = st
+      if (!st && isS(i + 1)) { m += 1; sa(n - m) = i + 1 }
       i -= 1
     }
-
-    val bktSize = new Array[Int](k)
-    i = 0
-    while (i < n) { bktSize(s(i)) += 1; i += 1 }
     val bkt = new Array[Int](k)
-
-    // collect LMS positions in text order
-    var m = 0
-    i = 1
-    while (i < n) { if (isS(i) && !isS(i - 1)) m += 1; i += 1 }
     val lmsPos = new Array[Int](m)
-    var w = 0
-    i = 1
-    while (i < n) { if (isS(i) && !isS(i - 1)) { lmsPos(w) = i; w += 1 }; i += 1 }
+    i = 0
+    while (i < m) { lmsPos(i) = sa(n - m + i); i += 1 }
 
     if (m == 0) { induce(s, sa, isS, bktSize, bkt, lmsPos, 0, k, n); return sa }
 
@@ -241,7 +238,7 @@ object SuffixArrays {
 
     // extract LMS suffixes in current (LMS-substring-sorted) order
     val sortedLms = new Array[Int](m)
-    w = 0
+    var w = 0
     i = 0
     while (i < n) {
       val p = sa(i)
