@@ -61,11 +61,16 @@ object SuffixArrays {
     i = 0
     while (i < m) { lmsPos(i) = sa(n - m + i); i += 1 } // back to text order
 
+    // bucket boundaries computed once; induce passes arraycopy them
+    val bktStart = new Array[Int](k)
+    val bktEnd = new Array[Int](k)
+    var sum0 = 0
+    var c0 = 0
+    while (c0 < k) { bktStart(c0) = sum0; sum0 += bktSize(c0); bktEnd(c0) = sum0; c0 += 1 }
+
     def induceB(lms: Array[Int], mm: Int): Unit = {
       java.util.Arrays.fill(sa, -1)
-      var sum = 0
-      var c = 0
-      while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+      System.arraycopy(bktEnd, 0, bkt, 0, k)
       var j = mm - 1
       while (j >= 0) {
         val p = lms(j)
@@ -74,8 +79,7 @@ object SuffixArrays {
         sa(bkt(ch)) = p
         j -= 1
       }
-      sum = 0; c = 0
-      while (c < k) { bkt(c) = sum; sum += bktSize(c); c += 1 }
+      System.arraycopy(bktStart, 0, bkt, 0, k)
       var q = 0
       while (q < n) {
         val p = sa(q)
@@ -86,8 +90,7 @@ object SuffixArrays {
         }
         q += 1
       }
-      sum = 0; c = 0
-      while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+      System.arraycopy(bktEnd, 0, bkt, 0, k)
       q = n - 1
       while (q >= 0) {
         val p = sa(q)
@@ -232,9 +235,16 @@ object SuffixArrays {
     i = 0
     while (i < m) { lmsPos(i) = sa(n - m + i); i += 1 }
 
-    if (m == 0) { induce(s, sa, isS, bktSize, bkt, lmsPos, 0, k, n); return sa }
+    // bucket boundaries computed once; induce passes arraycopy them
+    val bktStart = new Array[Int](k)
+    val bktEnd = new Array[Int](k)
+    var sum0 = 0
+    var c0 = 0
+    while (c0 < k) { bktStart(c0) = sum0; sum0 += bktSize(c0); bktEnd(c0) = sum0; c0 += 1 }
 
-    induce(s, sa, isS, bktSize, bkt, lmsPos, m, k, n)
+    if (m == 0) { induce(s, sa, isS, bktStart, bktEnd, bkt, lmsPos, 0, k, n); return sa }
+
+    induce(s, sa, isS, bktStart, bktEnd, bkt, lmsPos, m, k, n)
 
     // extract LMS suffixes in current (LMS-substring-sorted) order
     val sortedLms = new Array[Int](m)
@@ -280,7 +290,7 @@ object SuffixArrays {
         out
       }
 
-    induce(s, sa, isS, bktSize, bkt, orderedLms, m, k, n)
+    induce(s, sa, isS, bktStart, bktEnd, bkt, orderedLms, m, k, n)
     sa
   }
 
@@ -291,7 +301,8 @@ object SuffixArrays {
       s: Array[Int],
       sa: Array[Int],
       isS: Array[Boolean],
-      bktSize: Array[Int],
+      bktStart: Array[Int],
+      bktEnd: Array[Int],
       bkt: Array[Int],
       lms: Array[Int],
       m: Int,
@@ -301,9 +312,7 @@ object SuffixArrays {
     java.util.Arrays.fill(sa, -1)
 
     // bucket ends
-    var sum = 0
-    var c = 0
-    while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+    System.arraycopy(bktEnd, 0, bkt, 0, k)
     var j = m - 1
     while (j >= 0) {
       val p = lms(j)
@@ -314,9 +323,7 @@ object SuffixArrays {
     }
 
     // bucket starts; induce L
-    sum = 0
-    c = 0
-    while (c < k) { bkt(c) = sum; sum += bktSize(c); c += 1 }
+    System.arraycopy(bktStart, 0, bkt, 0, k)
     var q = 0
     while (q < n) {
       val p = sa(q)
@@ -329,9 +336,7 @@ object SuffixArrays {
     }
 
     // bucket ends; induce S
-    sum = 0
-    c = 0
-    while (c < k) { sum += bktSize(c); bkt(c) = sum; c += 1 }
+    System.arraycopy(bktEnd, 0, bkt, 0, k)
     q = n - 1
     while (q >= 0) {
       val p = sa(q)
