@@ -338,6 +338,17 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
     },
 
+    // --- embedding-cosine near-dup (exact tier, block-broadcast plan);
+    // tau sits in a measured gap of the cosine distribution, so the
+    // engine-vs-DuckDB double rounding (~1e-16) cannot flip membership
+    "q34_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      Similarity.embeddingNearDup(s, vecs, threshold = 0.45, numBlocks = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // --- Structured Streaming ingest: documents arrive as micro-batches,
     // each encoded through the batch kernel (foreachBatch), decoded back
     // and compared against the identity oracle. The collect below is a
@@ -563,6 +574,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
     "q33_streaming_encode" -> identityTextOracle,
+    "q34_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
     "q26_fm_search_multi" ->
       """SELECT d.doc_id, p.pattern,
         |  CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) // length(p.pattern) AS BIGINT) AS cnt,

@@ -35,7 +35,7 @@ object Dedup {
     *  3. only then collect the surviving (<= maxBucket) member lists and
     *     explode the in-bucket pairs.
     */
-  private def cappedBucketPairs(
+  private[pipeline] def cappedBucketPairs(
       banded: DataFrame,
       maxBucket: Int,
       onDrop: DropReport => Unit

@@ -132,6 +132,85 @@ object Similarity {
     mergeTopK(spark, partial, k).select($"query_id", $"nbr_id", $"rank")
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    * with cosine >= threshold.
+    *
+    * Plan: split the corpus into `numBlocks` id-quantile blocks; each
+    * block is collected + broadcast and scored against the whole corpus
+    * in one narrow pass — no corpus-sized shuffle ever, driver/executor
+    * memory bounded by one block of vectors. Compute is O(n^2/p): this is
+    * the exact tier (verification corpora, up to ~10^6-10^7 vectors);
+    * [[embeddingNearDupLsh]] is the sublinear scale path.
+    */
+  def embeddingNearDup(
+      spark: SparkSession,
+      vectors: Dataset[(Long, Array[Float])],
+      threshold: Double,
+      numBlocks: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    val df = vectors.toDF("id", "vec").cache()
+    val probs = (0 to numBlocks).map(_.toDouble / numBlocks).toArray
+    val qs = df.stat.approxQuantile("id", probs, 0.0) // exact quantiles
+    val blocks = (0 until numBlocks).flatMap { k =>
+      val lo = qs(k).toLong
+      val hi = qs(k + 1).toLong
+      val cond =
+        if (k == numBlocks - 1) col("id") >= lo && col("id") <= hi
+        else col("id") >= lo && col("id") < hi
+      val block = df.filter(cond).as[(Long, Array[Float])].collect()
+      if (block.isEmpty) None
+      else {
+        val bc = spark.sparkContext.broadcast(block)
+        Some(df.as[(Long, Array[Float])].mapPartitions { it =>
+          val blk = bc.value
+          it.flatMap { case (id, v) =>
+            blk.iterator.collect {
+              case (qid, qv) if id < qid && cosine(v, qv) >= threshold => (id, qid)
+            }
+          }
+        }.toDF("id_a", "id_b"))
+      }
+    }
+    blocks.reduce(_ union _)
+  }
+
+  /** Sublinear embedding-cosine near-dup: RHP-banded corpus self-join
+    * (bucket sizes counted before any member list exists, oversized
+    * buckets dropped with a reported count — the same cap machinery as
+    * the text dedup), then exact cosine verification of candidates.
+    * Recall is the banding probability (tunable via bands/bits); the
+    * exact operator above is the ground truth it is tested against.
+    */
+  def embeddingNearDupLsh(
+      spark: SparkSession,
+      vectors: Dataset[(Long, Array[Float])],
+      threshold: Double,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      maxBucket: Int = 1024,
+      onDrop: Dedup.DropReport => Unit = _ => ()
+  ): DataFrame = {
+    import spark.implicits._
+    val banded = vectors.flatMap { case (id, vec) =>
+      val sig = rhpSignature(vec, bands * bitsPerBand, 0xC0FFEEL)
+      (0 until bands).iterator.map { b =>
+        (b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1), id)
+      }
+    }.toDF("band", "bucket", "id")
+    val cand = Dedup.cappedBucketPairs(banded, maxBucket, onDrop)
+    val vecById = vectors.toDF("id", "vec")
+    cand
+      .join(vecById.select($"id".as("id_a"), $"vec".as("va")), "id_a")
+      .join(vecById.select($"id".as("id_b"), $"vec".as("vb")), "id_b")
+      .select($"id_a", $"id_b", $"va", $"vb")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.collect { case (a, b, va, vb) if cosine(va, vb) >= threshold => (a, b) }
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Random-hyperplane signature: `bits` sign bits from deterministic
     * pseudo-random hyperplanes (hash-derived, no stored planes).
     */

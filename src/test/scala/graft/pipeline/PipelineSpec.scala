@@ -194,6 +194,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@$k = $recall (exact=$exact lsh=$lsh)")
   }
 
+  test("embeddingNearDup: exact pairs match local brute force; LSH variant recall >= 0.8") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 15).flatMap { c =>
+      val centroid = Array.fill(12)(rnd.nextFloat() * 2 - 1)
+      (0 until 6).map { m =>
+        ((c * 6 + m).toLong, centroid.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.1f))
+      }
+    }
+    import spark.implicits._
+    val ds = spark.createDataset(vecs).repartition(4)
+    val byId = vecs.toMap
+    val tau = 0.9
+    val expected = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && Similarity.cosine(va, vb) >= tau
+    } yield (a, b)).toSet
+    assert(expected.size > 30, s"planted clusters should produce pairs, got ${expected.size}")
+
+    val exact = Similarity.embeddingNearDup(spark, ds, tau, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == expected, s"missing=${expected -- exact} extra=${exact -- expected}")
+
+    var drop = Dedup.DropReport(0, 0)
+    val lsh = Similarity.embeddingNearDupLsh(spark, ds, tau, onDrop = r => drop = r)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(expected), "LSH result must be exact-cosine verified")
+    val recall = (lsh & expected).size.toDouble / expected.size
+    assert(recall >= 0.8, s"LSH recall $recall (drop=$drop)")
+  }
+
   test("textEncode outlier gate: oversized value bypasses BWT and roundtrips") {
     val big = new Array[Byte](graft.codec.ColumnCodec.MaxBwtDocBytes + 1024)
     val rnd = new scala.util.Random(3)
