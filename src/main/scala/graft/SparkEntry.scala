@@ -259,6 +259,12 @@ object SparkEntry {
     "q23_lang_id" -> { (s, dir) =>
       TextAnalysis.languageId(s, docsKT(s, dir))
     },
+    // BPE-ish token counting (pure Catalyst regexp_count — codegen'd)
+    "q35_bpe_tokens" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountCol(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCountCol(col("text")).as("n_bpe_tokens"))
+    },
     "q24_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprints(s, docsKT(s, dir))
     },
@@ -574,6 +580,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
     "q33_streaming_encode" -> identityTextOracle,
+    "q35_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "q34_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -17,6 +17,18 @@ object TextAnalysis {
   def tokenCountCol(text: org.apache.spark.sql.Column) =
     (length(text) - length(regexp_replace(text, " ", "")) + lit(1)).cast("long")
 
+  /** BPE-style pre-tokenizer match count as a Column: the GPT-2 pattern
+    * family simplified to be lookahead-free so RE2 (DuckDB) and java.util
+    * .regex (Spark codegen) agree — optional-leading-space letter runs,
+    * digit runs, punctuation runs, residual spaces. A far better LLM-cost
+    * proxy than whitespace splitting (punctuation and numbers tokenize
+    * separately).
+    */
+  final val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  def bpeTokenCountCol(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
   /** Quality features, all integer/exact so a SQL oracle can reproduce
     * them bit-for-bit.
     */
