@@ -344,6 +344,17 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
     },
 
+    // IVF ANN at full probe (nProbe = nLists) — exactly brute force, so
+    // the whole centroid/assignment/probe machinery is oracle-checked;
+    // the approximate (partial-probe) regime is pinned by PipelineSpec
+    "q36_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      Similarity.ivfTopK(s, vecs, Seq(0L, 1L, 2L, 3L, 4L), 5, nLists = 32, nProbe = 32)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+    },
+
     // --- embedding-cosine near-dup (exact tier, block-broadcast plan);
     // tau sits in a measured gap of the cosine distribution, so the
     // engine-vs-DuckDB double rounding (~1e-16) cannot flip membership
@@ -580,6 +591,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
     "q33_streaming_encode" -> identityTextOracle,
+    "q36_ann_ivf" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin,
     "q35_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,

@@ -151,6 +151,78 @@ object Multimodal {
     out
   }
 
+  /** REAL nearest-neighbor resize of a 24-bit BMP payload: parses the
+    * header, samples the (bottom-up, row-padded) pixel array, and emits a
+    * valid BMP of the new dimensions. Returns None for non-BMP/invalid
+    * payloads. This is the resize stage of the media pipeline operating
+    * on actual bytes, not a stub.
+    */
+  def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    decodeBmp(bytes).flatMap { info =>
+      if (info.bitsPerPixel != 24 || newW <= 0 || newH <= 0) None
+      else {
+        val srcRow = ((info.width * 24 + 31) / 32) * 4
+        val dataOffset = le32(bytes, 10)
+        val out = synthBmp(newW, newH) // valid header; pixels overwritten below
+        val dstRow = ((newW * 24 + 31) / 32) * 4
+        var y = 0
+        while (y < newH) {
+          val sy = (y.toLong * info.height / newH).toInt
+          var x = 0
+          while (x < newW) {
+            val sx = (x.toLong * info.width / newW).toInt
+            val src = dataOffset + sy * srcRow + sx * 3
+            val dst = 54 + y * dstRow + x * 3
+            out(dst) = bytes(src)
+            out(dst + 1) = bytes(src + 1)
+            out(dst + 2) = bytes(src + 2)
+            x += 1
+          }
+          // zero the row padding for determinism
+          var p = 54 + y * dstRow + newW * 3
+          while (p < 54 + (y + 1) * dstRow) { out(p) = 0; p += 1 }
+          y += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Frame sampling over a WAV payload: keep every `stride`-th sample
+    * (per channel), emitting a valid shorter WAV at the same rate /
+    * channel count. None for non-WAV payloads.
+    */
+  def sampleWav(bytes: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    decodeWav(bytes).flatMap { info =>
+      if (info.bitsPerSample != 16 || stride <= 0) None
+      else {
+        val kept = (info.nSamples + stride - 1) / stride
+        val out = synthWav(info.channels, info.sampleRate, kept)
+        val frame = info.channels * 2
+        // locate the source data chunk (same walk as decodeWav)
+        var off = 12
+        var srcData = -1
+        while (off + 8 <= bytes.length && srcData < 0) {
+          val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
+          if (id == "data") srcData = off + 8
+          else off += 8 + size.toInt + (size.toInt & 1)
+        }
+        var s = 0L
+        var w = 0
+        while (s < info.nSamples) {
+          val src = srcData + (s * frame).toInt
+          val dst = 44 + w * frame
+          var b = 0
+          while (b < frame) { out(dst + b) = bytes(src + b); b += 1 }
+          s += stride
+          w += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** STUB embedder: a real implementation would hand `bytes` to a model;
     * this derives deterministic pseudo-features so the pipeline shape is
     * exercised end to end with stable outputs.

@@ -211,6 +211,78 @@ object Similarity {
       .toDF("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — nLists
+    * centroids = the corpus vectors with the lowest xxhash64(id) ranks —
+    * assigns every vector to its nearest centroid's list; a query scores
+    * only vectors in its nProbe nearest lists. The second index family
+    * next to RHP-LSH: lists follow the data distribution, so clustered
+    * embedding spaces probe far fewer candidates than hyperplane buckets.
+    *
+    * Shape matches [[bruteForceTopK]]: one narrow corpus pass (assignment
+    * + gated scoring into bounded per-partition heaps), tiny final merge,
+    * no corpus-sized exchange. nProbe = nLists degenerates to exact brute
+    * force (the oracle-able configuration); at scale the assignment would
+    * be precomputed once into a stored index table rather than recomputed
+    * per query batch.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      vectors: Dataset[(Long, Array[Float])],
+      queryIds: Seq[Long],
+      k: Int,
+      nLists: Int = 64,
+      nProbe: Int = 8
+  ): DataFrame = {
+    import spark.implicits._
+    val df = vectors.toDF("id", "vec")
+    val cents: Array[Array[Float]] = df
+      .withColumn("r", xxhash64(col("id")))
+      .orderBy(col("r"), col("id"))
+      .limit(nLists)
+      .select($"vec").as[Array[Float]]
+      .collect()
+    val queries = collectQueries(vectors, queryIds)
+
+    def nearestLists(v: Array[Float], np: Int): Array[Int] =
+      cents.indices
+        .map(c => (c, cosine(cents(c), v)))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(np).map(_._1).toArray
+
+    val qProbes = queries.map { case (qid, qv) => (qid, qv, nearestLists(qv, nProbe).toSet) }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(qProbes)
+
+    val partial = vectors.mapPartitions { it =>
+      val cs = bcC.value
+      val qs = bcQ.value
+      val heaps = qs.map { case (qid, _, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+      }
+      it.foreach { case (id, vec) =>
+        var bestList = 0
+        var bestCos = -2.0
+        var c = 0
+        while (c < cs.length) {
+          val cc = cosine(cs(c), vec)
+          if (cc > bestCos) { bestCos = cc; bestList = c }
+          c += 1
+        }
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv, probes) = qs(qi)
+          if (qid != id && probes.contains(bestList))
+            pushBounded(heaps(qi)._2, (cosine(qv, vec), id), k)
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nbr) => (qid, nbr, cos) }
+      }
+    }
+    mergeTopK(spark, partial, k).select($"query_id", $"nbr_id", $"rank", $"cos")
+  }
+
   /** Random-hyperplane signature: `bits` sign bits from deterministic
     * pseudo-random hyperplanes (hash-derived, no stored planes).
     */

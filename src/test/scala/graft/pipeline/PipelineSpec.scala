@@ -194,6 +194,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@$k = $recall (exact=$exact lsh=$lsh)")
   }
 
+  test("ivfTopK: full probe equals brute force; partial probe recall >= 0.8 on clusters") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 16).flatMap { c =>
+      val centroid = Array.fill(12)(rnd.nextFloat() * 2 - 1)
+      (0 until 10).map { m =>
+        ((c * 10 + m).toLong, centroid.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.1f))
+      }
+    }
+    import spark.implicits._
+    val ds = spark.createDataset(vecs).repartition(4)
+    val queryIds = Seq(0L, 35L, 110L)
+    val k = 6
+    val exact = Similarity.bruteForceTopK(spark, ds, queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // nProbe == nLists: must equal brute force exactly, rank for rank
+    val full = Similarity.ivfTopK(spark, ds, queryIds, k, nLists = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(full == exact)
+    // partial probe: high recall on clustered data
+    val part = Similarity.ivfTopK(spark, ds, queryIds, k, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case ((q, _), n) => (q, n) }.toSet
+    val recall = (part & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
   test("embeddingNearDup: exact pairs match local brute force; LSH variant recall >= 0.8") {
     val rnd = new scala.util.Random(17)
     val vecs = (0 until 15).flatMap { c =>
@@ -257,6 +283,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.media_kind).toSeq == Seq("bmp", "wav", "unknown"))
     assert(rows(0).width == Some(33) && rows(0).height == Some(17))
     assert(rows(1).duration_us == Some(12345L * 1000000 / 16000))
+  }
+
+  test("multimodal transforms: BMP resize and WAV frame-sampling are real byte ops") {
+    val bmp = Multimodal.synthBmp(40, 24, seed = 9)
+    val resized = Multimodal.resizeBmp(bmp, 10, 6).get
+    assert(Multimodal.decodeBmp(resized) == Some(Multimodal.BmpInfo(10, 6, 24)))
+    // nearest-neighbor: pixel (0,0) of the output is pixel (0,0) of the input
+    val srcRow = ((40 * 24 + 31) / 32) * 4
+    val dstRow = ((10 * 24 + 31) / 32) * 4
+    (0 until 3).foreach(b => assert(resized(54 + b) == bmp(54 + b)))
+    // pixel (x=9,y=5) maps to source (36, 20)
+    (0 until 3).foreach { b =>
+      assert(resized(54 + 5 * dstRow + 9 * 3 + b) == bmp(54 + 20 * srcRow + 36 * 3 + b))
+    }
+    assert(Multimodal.resizeBmp("junk".getBytes(UTF_8), 4, 4).isEmpty)
+    // deterministic: same input -> same bytes
+    assert(java.util.Arrays.equals(resized, Multimodal.resizeBmp(bmp, 10, 6).get))
+
+    val wav = Multimodal.synthWav(2, 8000, 1000, seed = 4)
+    val sampled = Multimodal.sampleWav(wav, 4).get
+    val wi = Multimodal.decodeWav(sampled).get
+    assert(wi.nSamples == 250 && wi.channels == 2 && wi.sampleRate == 8000)
+    // first kept frame equals the source's first frame; second equals source frame 4
+    (0 until 4).foreach(b => assert(sampled(44 + b) == wav(44 + b)))
+    (0 until 4).foreach(b => assert(sampled(44 + 4 + b) == wav(44 + 16 + b)))
+    assert(Multimodal.sampleWav(bmp, 4).isEmpty)
   }
 
   test("huffman decode of corrupt payload fails cleanly, not with AIOOBE") {
