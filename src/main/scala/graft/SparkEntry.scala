@@ -344,6 +344,25 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
     },
 
+    // --- the 100 TB use case end to end: curation pipeline composing
+    // exact dedup -> quality gate -> language filter over the documents
+    // table; every stage is the already-verified operator, and the whole
+    // composition is oracle-checked as one query
+    "q37_curation_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val keep = d.groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val lang = TextAnalysis.languageId(s, docsKT(s, dir))
+      TextAnalysis.qualityFeatures(d, "text")
+        .select($"doc_id", $"n_tokens", $"is_short")
+        .join(keep, "doc_id") // dedup winners only
+        .join(lang, "doc_id")
+        .filter($"lang_guess" === "en" && $"n_tokens" >= 30 && !$"is_short")
+        .select($"doc_id", $"n_tokens", $"lang_guess")
+    },
+
     // IVF ANN at full probe (nProbe = nLists) — exactly brute force, so
     // the whole centroid/assignment/probe machinery is oracle-checked;
     // the approximate (partial-probe) regime is pinned by PipelineSpec
@@ -419,6 +438,35 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------- oracles
+
+  private val q23LangOracle: String =
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
+        |  + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' von ','')))//5
+        |  + (length(t)-length(replace(t,' das ','')))//5 + (length(t)-length(replace(t,' mit ','')))//5 AS s_de,
+        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' of ','')))//4
+        |  + (length(t)-length(replace(t,' and ','')))//5 + (length(t)-length(replace(t,' was ','')))//5
+        |  + (length(t)-length(replace(t,' for ','')))//5 + (length(t)-length(replace(t,' that ','')))//6 AS s_en,
+        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' los ','')))//5
+        |  + (length(t)-length(replace(t,' las ','')))//5 + (length(t)-length(replace(t,' una ','')))//5
+        |  + (length(t)-length(replace(t,' por ','')))//5 + (length(t)-length(replace(t,' para ','')))//6 AS s_es,
+        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
+        |  + (length(t)-length(replace(t,' des ','')))//5 + (length(t)-length(replace(t,' une ','')))//5
+        |  + (length(t)-length(replace(t,' est ','')))//5 + (length(t)-length(replace(t,' dans ','')))//6 AS s_fr,
+        |  (length(t)-length(replace(t,'的',''))) + (length(t)-length(replace(t,'是','')))
+        |  + (length(t)-length(replace(t,'了',''))) + (length(t)-length(replace(t,'我','')))
+        |  + (length(t)-length(replace(t,'他',''))) + (length(t)-length(replace(t,'这',''))) AS s_zh
+        | FROM p)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
+        |      WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |      WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |      WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |      WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |      ELSE 'zh' END AS lang_guess
+        |FROM s""".stripMargin
+
 
   def oracleSql: Map[String, String] = Map(
     "q01_bwt_roundtrip" -> identityTextOracle,
@@ -528,33 +576,7 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = p.id_a
         |JOIN sizes sb ON sb.doc_id = p.id_b
         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
-    "q23_lang_id" ->
-      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
-        |s AS (SELECT doc_id,
-        |  (length(t)-length(replace(t,' der ','')))//5 + (length(t)-length(replace(t,' die ','')))//5
-        |  + (length(t)-length(replace(t,' und ','')))//5 + (length(t)-length(replace(t,' von ','')))//5
-        |  + (length(t)-length(replace(t,' das ','')))//5 + (length(t)-length(replace(t,' mit ','')))//5 AS s_de,
-        |  (length(t)-length(replace(t,' the ','')))//5 + (length(t)-length(replace(t,' of ','')))//4
-        |  + (length(t)-length(replace(t,' and ','')))//5 + (length(t)-length(replace(t,' was ','')))//5
-        |  + (length(t)-length(replace(t,' for ','')))//5 + (length(t)-length(replace(t,' that ','')))//6 AS s_en,
-        |  (length(t)-length(replace(t,' el ','')))//4 + (length(t)-length(replace(t,' los ','')))//5
-        |  + (length(t)-length(replace(t,' las ','')))//5 + (length(t)-length(replace(t,' una ','')))//5
-        |  + (length(t)-length(replace(t,' por ','')))//5 + (length(t)-length(replace(t,' para ','')))//6 AS s_es,
-        |  (length(t)-length(replace(t,' le ','')))//4 + (length(t)-length(replace(t,' les ','')))//5
-        |  + (length(t)-length(replace(t,' des ','')))//5 + (length(t)-length(replace(t,' une ','')))//5
-        |  + (length(t)-length(replace(t,' est ','')))//5 + (length(t)-length(replace(t,' dans ','')))//6 AS s_fr,
-        |  (length(t)-length(replace(t,'的',''))) + (length(t)-length(replace(t,'是','')))
-        |  + (length(t)-length(replace(t,'了',''))) + (length(t)-length(replace(t,'我','')))
-        |  + (length(t)-length(replace(t,'他',''))) + (length(t)-length(replace(t,'这',''))) AS s_zh
-        | FROM p)
-        |SELECT doc_id,
-        | CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
-        |      WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
-        |      WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
-        |      WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
-        |      WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
-        |      ELSE 'zh' END AS lang_guess
-        |FROM s""".stripMargin,
+    "q23_lang_id" -> q23LangOracle,
     "q24_fingerprint" ->
       """WITH RECURSIVE pw(k, p) AS (
         |  SELECT 0, CAST(1 AS HUGEINT)
@@ -591,6 +613,23 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
     "q33_streaming_encode" -> identityTextOracle,
+    "q37_curation_pipeline" -> {
+      // reuse the verified lang-id oracle as a CTE (strip its WITH prefix)
+      val langCtes = q23LangOracle.stripPrefix("WITH ")
+      val cut = langCtes.lastIndexOf("SELECT doc_id,")
+      s"""WITH ${langCtes.substring(0, cut)},
+         |lang AS (
+         |${langCtes.substring(cut)}
+         |),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT doc_id,
+         |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |        length(text) < 200 AS is_short
+         |      FROM documents)
+         |SELECT q.doc_id, q.n_tokens, lang.lang_guess
+         |FROM q JOIN keep USING (doc_id) JOIN lang ON lang.doc_id = q.doc_id
+         |WHERE lang.lang_guess = 'en' AND q.n_tokens >= 30 AND NOT q.is_short""".stripMargin
+    },
     "q36_ann_ivf" ->
       """SELECT query_id, nbr_id, rank FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
