@@ -28,6 +28,18 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
 
+  /** Persist a Dataset's rows at the RDD layer instead of `cache()`:
+    * DataFrame cache entries pin CacheManager storage for the session
+    * lifetime unless explicitly unpersisted (which a function returning a
+    * lazy DataFrame cannot safely do), while RDD persistence is
+    * reference-tracked — the ContextCleaner frees the blocks as soon as the
+    * derived DataFrames are garbage collected. Repeated dedup/near-dup
+    * invocations therefore no longer accumulate dead cached blocks.
+    */
+  private[pipeline] def autoPersist[T: org.apache.spark.sql.Encoder](ds: Dataset[T]): Dataset[T] =
+    ds.sparkSession.createDataset(
+      ds.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Candidate pairs (id_a < id_b) from a banded (band, bucket, id) table,
     * with the oversized-bucket cap applied scale-safely:
     *  1. count bucket sizes (map-side combinable agg — no lists),
@@ -42,9 +54,11 @@ object Dedup {
   ): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
-    val sizes = banded.groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("n"))
-      .cache()
+    val sizes = autoPersist(
+      banded.groupBy($"band", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .as[(Int, Long, Long)]
+    ).toDF("band", "bucket", "n")
     val dropped = sizes.filter($"n" > maxBucket)
       .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
       .as[(Long, Long)].head()
@@ -139,9 +153,8 @@ object Dedup {
     import spark.implicits._
     val perBand = NumHashes / Bands
 
-    val sigs = docs.map { case (id, text) => (id, minHashSignature(text)) }
+    val sigs = autoPersist(docs.map { case (id, text) => (id, minHashSignature(text)) })
       .toDF("id", "sig")
-      .cache()
 
     val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       (0 until Bands).iterator.map { b =>
@@ -216,7 +229,7 @@ object Dedup {
       s"maxHamming=$maxHamming: bands of >= 2 bits need maxHamming < 32")
     import spark.implicits._
     val bands = maxHamming + 1
-    val hashed = docs.map { case (id, t) => (id, simHash(t)) }.toDF("id", "h").cache()
+    val hashed = autoPersist(docs.map { case (id, t) => (id, simHash(t)) }).toDF("id", "h")
     val banded = hashed.as[(Long, Long)].flatMap { case (id, h) =>
       (0 until bands).iterator.map { b =>
         val start = b * 64 / bands

@@ -80,25 +80,48 @@ object Multimodal {
     if (bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
-    var off = 12
+    var off = 12L
     var channels = 0
     var sampleRate = 0
     var bits = 0
     var dataLen = -1L
-    while (off + 8 <= bytes.length) {
-      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
-      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
-        channels = le16(bytes, off + 10)
-        sampleRate = le32(bytes, off + 12)
-        bits = le16(bytes, off + 22)
-      } else if (id == "data") {
-        dataLen = math.min(size, (bytes.length - off - 8).toLong)
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
+      val o = off.toInt
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
+      // A declared size that overruns the payload means the header is
+      // inconsistent — stop the walk rather than loop or index past the end.
+      if (size > bytes.length - off - 8) ok = false
+      else {
+        if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+          channels = le16(bytes, o + 10)
+          sampleRate = le32(bytes, o + 12)
+          bits = le16(bytes, o + 22)
+        } else if (id == "data") {
+          dataLen = size
+        }
+        off += 8L + size + (size & 1L) // chunks are word-aligned
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
+    if (channels <= 0 || sampleRate <= 0 || bits < 8 || bits % 8 != 0 || dataLen < 0) None
     else Some(WavInfo(channels, sampleRate, bits, dataLen / (channels.toLong * (bits / 8))))
+  }
+
+  /** Shared safe chunk walk: byte offset of the 'data' chunk payload, or -1.
+    * Same overrun guard as [[decodeWav]] — never loops or indexes past end.
+    */
+  private def findWavData(bytes: Array[Byte]): Int = {
+    var off = 12L
+    while (off + 8 <= bytes.length) {
+      val o = off.toInt
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
+      if (size > bytes.length - off - 8) return -1
+      if (id == "data") return o + 8
+      off += 8L + size + (size & 1L)
+    }
+    -1
   }
 
   /** Deterministic synthetic BMP (24-bit, valid header + padded pixel
@@ -194,20 +217,14 @@ object Multimodal {
     */
   def sampleWav(bytes: Array[Byte], stride: Int): Option[Array[Byte]] = {
     decodeWav(bytes).flatMap { info =>
-      if (info.bitsPerSample != 16 || stride <= 0) None
+      // decodeWav success implies a consistent 'data' chunk, so the guarded
+      // walk re-finds it; the srcData<0 branch is belt-and-braces only.
+      val srcData = findWavData(bytes)
+      if (info.bitsPerSample != 16 || stride <= 0 || srcData < 0) None
       else {
         val kept = (info.nSamples + stride - 1) / stride
         val out = synthWav(info.channels, info.sampleRate, kept)
         val frame = info.channels * 2
-        // locate the source data chunk (same walk as decodeWav)
-        var off = 12
-        var srcData = -1
-        while (off + 8 <= bytes.length && srcData < 0) {
-          val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-          val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
-          if (id == "data") srcData = off + 8
-          else off += 8 + size.toInt + (size.toInt & 1)
-        }
         var s = 0L
         var w = 0
         while (s < info.nSamples) {

@@ -132,15 +132,28 @@ object Similarity {
     mergeTopK(spark, partial, k).select($"query_id", $"nbr_id", $"rank")
   }
 
+  /** Hard ceiling for the exact near-dup tier. At the measured kernel rate
+    * (~40M cosine evaluations/s/core on 16-dim floats, BENCH/BASELINE.md
+    * §exact-tier-crossover) 2^21 vectors is ~2.2e12 pair evaluations —
+    * ~30 min on a 32-core node, the outer edge of "verification-scale".
+    * Beyond it [[embeddingNearDupLsh]] (banded candidates + exact verify)
+    * is the only viable path, so the exact tier refuses rather than
+    * silently launching an n^2 job on a corpus-scale table.
+    */
+  final val ExactTierMaxVectors: Long = 1L << 21
+
   /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
     * with cosine >= threshold.
     *
-    * Plan: split the corpus into `numBlocks` id-quantile blocks; each
-    * block is collected + broadcast and scored against the whole corpus
-    * in one narrow pass — no corpus-sized shuffle ever, driver/executor
-    * memory bounded by one block of vectors. Compute is O(n^2/p): this is
-    * the exact tier (verification corpora, up to ~10^6-10^7 vectors);
-    * [[embeddingNearDupLsh]] is the sublinear scale path.
+    * Plan: split the corpus into `numBlocks` deterministic hash-blocks of
+    * the Long id (balanced in expectation, exact on the full id range —
+    * quantile-derived boundaries round-tripped ids through Double and
+    * could mis-bucket ids above 2^53); each block is collected + broadcast
+    * and scored against the whole corpus in one narrow pass — no
+    * corpus-sized shuffle ever, driver/executor memory bounded by one
+    * block of vectors. Compute is O(n^2/p): this is the exact tier,
+    * `require`-capped at [[ExactTierMaxVectors]]; [[embeddingNearDupLsh]]
+    * is the sublinear scale path.
     */
   def embeddingNearDup(
       spark: SparkSession,
@@ -149,20 +162,17 @@ object Similarity {
       numBlocks: Int = 16
   ): DataFrame = {
     import spark.implicits._
-    val df = vectors.toDF("id", "vec").cache()
-    val probs = (0 to numBlocks).map(_.toDouble / numBlocks).toArray
-    val qs = df.stat.approxQuantile("id", probs, 0.0) // exact quantiles
+    val ds = Dedup.autoPersist(vectors)
+    val n = ds.count()
+    require(n <= ExactTierMaxVectors,
+      s"embeddingNearDup is the exact O(n^2/p) verification tier, capped at " +
+        s"$ExactTierMaxVectors vectors (corpus has $n); use embeddingNearDupLsh for corpus scale")
     val blocks = (0 until numBlocks).flatMap { k =>
-      val lo = qs(k).toLong
-      val hi = qs(k + 1).toLong
-      val cond =
-        if (k == numBlocks - 1) col("id") >= lo && col("id") <= hi
-        else col("id") >= lo && col("id") < hi
-      val block = df.filter(cond).as[(Long, Array[Float])].collect()
+      val block = ds.filter(r => Math.floorMod(mix(r._1), numBlocks.toLong) == k.toLong).collect()
       if (block.isEmpty) None
       else {
         val bc = spark.sparkContext.broadcast(block)
-        Some(df.as[(Long, Array[Float])].mapPartitions { it =>
+        Some(ds.mapPartitions { it =>
           val blk = bc.value
           it.flatMap { case (id, v) =>
             blk.iterator.collect {
@@ -172,7 +182,8 @@ object Similarity {
         }.toDF("id_a", "id_b"))
       }
     }
-    blocks.reduce(_ union _)
+    if (blocks.isEmpty) spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    else blocks.reduce(_ union _)
   }
 
   /** Sublinear embedding-cosine near-dup: RHP-banded corpus self-join

@@ -313,7 +313,7 @@ object EncodeJob {
         ((url, ts, html, text, lang))
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
-      val rows = rows0.sortBy(_._1)
+      val rows = rows0.sortBy(_._1)(utf8Ordering)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
         preEncodedChunkColumns(pid, cid, chunk, bwtBias)
       }.toVector
@@ -382,6 +382,11 @@ object EncodeJob {
     def hasNext: Boolean = it.hasNext || buf.nonEmpty || curPid != Int.MinValue
 
     def next(): Seq[EncodedChunk] = {
+      // a part-change append below can leave buf already full (chunkRows==1):
+      // flush it first so the fullness invariant (buf.length < chunkRows on
+      // entry to the append loop) holds and chunk layout matches the
+      // buffering kernel exactly
+      if (buf.length >= chunkRows && buf.nonEmpty) return flushChunk()
       while (it.hasNext) {
         val (url, ts, html, text, lang, pid) = it.next()
         if (pid != curPid) {
@@ -396,7 +401,7 @@ object EncodeJob {
           curPid = pid
         }
         buf += ((url, ts, html, text, lang))
-        if (buf.length == chunkRows) return flushChunk()
+        if (buf.length >= chunkRows) return flushChunk()
       }
       // input exhausted: flush the tail chunk and close the last part
       val out = if (buf.nonEmpty) flushChunk() else Seq.empty
@@ -405,6 +410,17 @@ object EncodeJob {
       out
     }
   }.flatten
+
+  /** Unsigned UTF-8 byte order for urls — the SAME order Catalyst's
+    * UTF8String binary comparison uses, so the buffering kernels and the
+    * `spillSafeSort` Tungsten-sorted kernel slice chunks identically even
+    * for urls containing supplementary (non-BMP) characters, where Java
+    * String UTF-16 order diverges from UTF-8 byte order.
+    */
+  private[spark] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+  }
 
   /** FNV-1a 64-bit (public domain) — deterministic payload fingerprint. */
   def fnv1a(bytes: Array[Byte]): Long = {
@@ -438,7 +454,7 @@ object EncodeJob {
         ((url, ts, html, text, lang))
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
-      val rows = rows0.sortBy(_._1) // deterministic chunk layout (by url)
+      val rows = rows0.sortBy(_._1)(utf8Ordering) // deterministic chunk layout (by url, UTF-8 byte order)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
         // url and warc_ts are the row identity — must be non-null; the
         // payload columns (html/text/lang) are nullable like real crawl data

@@ -275,6 +275,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(java.util.Arrays.copyOf(wav, 20)).isEmpty)
     assert(Multimodal.decodeBmp("plain text, not a bitmap at all...............".getBytes(UTF_8)).isEmpty)
     assert(Multimodal.decodeWav("plain text, not a riff wave at all.............".getBytes(UTF_8)).isEmpty)
+    // adversarial chunk sizes: 0xFFFFFFF8 (Int step 0 — used to hang), sizes
+    // >= 2^31 (used to negative-index), and sub-byte bitsPerSample (used to
+    // divide by zero) must all return None, terminate, and not throw
+    def patch32(b: Array[Byte], off: Int, v: Long): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v & 0xFF).toByte; c(off + 1) = ((v >> 8) & 0xFF).toByte
+      c(off + 2) = ((v >> 16) & 0xFF).toByte; c(off + 3) = ((v >> 24) & 0xFF).toByte
+      c
+    }
+    def patch16(b: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = b.clone(); c(off) = (v & 0xFF).toByte; c(off + 1) = ((v >> 8) & 0xFF).toByte; c
+    }
+    assert(Multimodal.decodeWav(patch32(wav, 16, 0xFFFFFFF8L)).isEmpty) // fmt size -> step 0
+    assert(Multimodal.decodeWav(patch32(wav, 40, 0xFFFFFFF8L)).isEmpty) // data size overrun
+    assert(Multimodal.decodeWav(patch32(wav, 16, 0x80000000L)).isEmpty) // >= 2^31
+    for (bits <- Seq(0, 1, 7, 9)) // invalid bitsPerSample: reject, no div-by-zero
+      assert(Multimodal.decodeWav(patch16(wav, 34, bits)).isEmpty)
+    assert(Multimodal.sampleWav(patch32(wav, 40, 0xFFFFFFF8L), 4).isEmpty)
     // extractFeatures sniffs kinds end to end
     import TestSpark.spark.implicits._
     val ds = TestSpark.spark.createDataset(Seq(

@@ -182,8 +182,9 @@ class SparkJobsSpec extends AnyFunSuite {
 
   test("streaming (spill-safe) kernel emits identical chunks + lineage to the buffering kernel") {
     // exercise chunk boundaries: 96 rows / 32-row chunks = exact multiple,
-    // plus a second config with a ragged tail
-    Seq(96 -> 32, 100 -> 32).foreach { case (nRows, chunkRows) =>
+    // a ragged tail, and chunkRows=1 (part-change append lands in an
+    // already-full buffer — regression for the >=-vs-== flush condition)
+    Seq(96 -> 32, 100 -> 32, 17 -> 1).foreach { case (nRows, chunkRows) =>
       val pages = PagesGen.generate(spark, nRows, partitions = 3)
       def runWith(spill: Boolean): (Map[(Int, Int, String), Long], Map[Int, (Long, Long, Long)]) = {
         val out = tmpDir(s"spill_$spill${nRows}")
@@ -201,6 +202,30 @@ class SparkJobsSpec extends AnyFunSuite {
       assert(cs == cb, s"chunk payloads differ (nRows=$nRows)")
       assert(ls == lb, s"lineage differs (nRows=$nRows)")
     }
+  }
+
+  test("kernels agree on supplementary-character urls (UTF-8 vs UTF-16 order)") {
+    // U+FFF0 sorts AFTER U+1F600 in UTF-16 code units (surrogate 0xD83D <
+    // 0xFFF0) but BEFORE it in UTF-8 bytes (EF BF B0 < F0 9F 98 80). The
+    // buffering kernel must slice chunks in the same (UTF-8) order Catalyst's
+    // spill-safe sort uses, or payload hashes diverge.
+    import spark.implicits._
+    val base = PagesGen.generate(spark, 12, partitions = 1).collect()
+    val pages = base.zipWithIndex.map { case (p, i) =>
+      val marker = if (i % 2 == 0) "￰" else "😀" // U+FFF0 vs U+1F600
+      p.copy(url = s"https://x.test/$marker/${i / 2}")
+    }
+    val ds = spark.createDataset(pages.toIndexedSeq)
+    def hashes(spill: Boolean): Map[(Int, Int, String), Long] = {
+      val out = tmpDir(s"nonbmp_$spill")
+      EncodeJob.run(spark, ds, out,
+        EncodeConfig(numPartitions = 2, chunkRows = 4, spillSafeSort = spill))
+      spark.read.parquet(EncodeJob.chunksPath(out))
+        .select("part_id", "chunk_id", "col_name", "payload_hash")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    }
+    assert(hashes(true) == hashes(false), "non-BMP urls sliced differently by the two kernels")
   }
 
   test("speed-biased encode (bwtBias=0, no BWT) is still bit-identical") {
