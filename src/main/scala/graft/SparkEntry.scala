@@ -268,12 +268,18 @@ object SparkEntry {
     "q24_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprints(s, docsKT(s, dir))
     },
+    // RHP-LSH at multiProbe = bitsPerBand: every band's hamming gate is
+    // trivially satisfied, so lshTopK degenerates to exact brute force and
+    // the full banding/candidate/heap machinery is DuckDB-oracle-checked
+    // (same trick as q36). The approximate (multiProbe=1) regime is pinned
+    // by the SimilaritySpec recall/rank-exactness property tests.
     "q25_ann_lsh" -> { (s, dir) =>
       import s.implicits._
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      Similarity.lshTopK(s, vecs, Seq(0L, 1L, 2L, 3L, 4L), 5)
-        .select(col("query_id"), col("nbr_id"), col("rank").cast("long"), col("cos"))
+      Similarity.lshTopK(s, vecs, Seq(0L, 1L, 2L, 3L, 4L), 5,
+          bands = 4, bitsPerBand = 8, multiProbe = 8)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
     },
 
     // --- multimodal: opaque binary media column -> batched feature stage.
@@ -421,6 +427,31 @@ object SparkEntry {
       SearchJob.run(s, d, Seq("data", "the", "ing"))
         .select(col("doc_key").cast("long").as("doc_id"), col("pattern"),
           col("cnt"), col("first_pos"))
+    },
+
+    // --- stored ANN index tables: build once, then search reads ONLY the
+    // parquet index (partition-pruned IVF lists / bucket-pruned RHP bands)
+    // — no per-batch corpus re-assignment. Full probe degenerates to exact
+    // brute force, so the whole stored machinery is oracle-checked;
+    // partial-probe equality with the in-memory operators is pinned by
+    // AnnIndexJobSpec.
+    "q38_ann_ivf_stored" -> { (s, dir) =>
+      import s.implicits._
+      val idxDir = s"/root/repo/target/ann_ivf_${math.abs(dir.hashCode)}"
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      graft.pipeline.AnnIndexJob.buildIvf(s, vecs, idxDir, nLists = 32)
+      graft.pipeline.AnnIndexJob.searchIvf(s, idxDir, Seq(0L, 1L, 2L, 3L, 4L), 5, nProbe = 32)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+    },
+    "q39_ann_lsh_stored" -> { (s, dir) =>
+      import s.implicits._
+      val idxDir = s"/root/repo/target/ann_rhp_${math.abs(dir.hashCode)}"
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      graft.pipeline.AnnIndexJob.buildRhp(s, vecs, idxDir, bands = 4, bitsPerBand = 8)
+      graft.pipeline.AnnIndexJob.searchRhp(s, idxDir, Seq(0L, 1L, 2L, 3L, 4L), 5, multiProbe = 8)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
     }
   )
 
@@ -654,9 +685,37 @@ object SparkEntry {
         |  CASE WHEN strpos(d.text, p.pattern) > 0
         |       THEN CAST(octet_length(encode(substr(d.text, 1, strpos(d.text, p.pattern) - 1))) + 1 AS BIGINT)
         |  END AS first_pos
-        |FROM documents d CROSS JOIN (VALUES ('data'), ('the'), ('ing')) p(pattern)""".stripMargin
-    // q25: not SQL-expressible (RHP-LSH bucketing over float dot products)
-    // -> driver rows-only check; verified by rank/cosine property tests in
-    // PipelineSpec instead
+        |FROM documents d CROSS JOIN (VALUES ('data'), ('the'), ('ing')) p(pattern)""".stripMargin,
+    // q25 runs lshTopK at multiProbe = bitsPerBand (exact degeneration), so
+    // the brute-force top-k oracle applies verbatim
+    "q25_ann_lsh" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    // q38/q39 run the stored-index searches at full probe (exact
+    // degeneration), so the brute-force top-k oracle applies verbatim
+    "q38_ann_ivf_stored" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin,
+    "q39_ann_lsh_stored" ->
+      """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin
   )
 }

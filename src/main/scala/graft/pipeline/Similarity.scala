@@ -25,14 +25,14 @@ object Similarity {
     * order (cos desc, nbr_id asc): the heap head is the element the next
     * better candidate evicts.
     */
-  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+  private[pipeline] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(b._1, a._1) // lower cos = worse = greater
       if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
     }
   }
 
-  private def pushBounded(
+  private[pipeline] def pushBounded(
       heap: scala.collection.mutable.PriorityQueue[(Double, Long)],
       cand: (Double, Long),
       k: Int
@@ -47,7 +47,7 @@ object Similarity {
     * rank, cos) — each group holds <= numPartitions * k rows, so this
     * shuffle is O(|queries| * partitions * k), independent of corpus size.
     */
-  private def mergeTopK(
+  private[pipeline] def mergeTopK(
       spark: SparkSession,
       partial: Dataset[(Long, Long, Double)],
       k: Int
@@ -70,7 +70,7 @@ object Similarity {
     * lambda filter here would force a full-corpus scan for a handful of
     * ids).
     */
-  private def collectQueries(
+  private[pipeline] def collectQueries(
       vectors: Dataset[(Long, Array[Float])],
       queryIds: Seq[Long]
   ): Array[(Long, Array[Float])] = {
