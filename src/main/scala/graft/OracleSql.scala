@@ -16,6 +16,59 @@ package graft
   */
 object OracleSql {
 
+  /** splitmix64 finalizer steps as DuckDB UBIGINT/HUGEINT limb arithmetic
+    * (shared shape with the m1-m3 chain in the q21 oracle).
+    */
+  private def mulMod(shift: Int, c: String): String =
+    s"CAST(((((CAST(xor(z, z >> $shift) AS HUGEINT)) % 4294967296) * $c) % 18446744073709551616" +
+      s" + ((((CAST(xor(z, z >> $shift) AS HUGEINT)) // 4294967296) * $c) % 4294967296) * 4294967296)" +
+      s" % 18446744073709551616 AS UBIGINT)"
+
+  /** SQL twin of `Dedup.cappedBucketPairs` over a (doc_id, b, bk) bucket
+    * CTE: buckets <= maxBucket pair directly; oversized buckets are
+    * salt-split into ceil(n/maxBucket) sub-buckets with
+    * salt = (splitmix64(doc_id + b + 1) & Long.MaxValue) % s, and
+    * sub-buckets beyond 2x maxBucket are dropped. Emits CTEs ending in
+    * `cand (id_a, id_b)`; splice after the bucket CTE (leading comma NOT
+    * included).
+    */
+  private def cappedCandidatesSql(bucket: String, maxBucket: Int): String = {
+    val mb = maxBucket
+    s"""bsize AS (SELECT b, bk, COUNT(*) AS n FROM $bucket GROUP BY b, bk),
+keepc AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM $bucket x
+  JOIN $bucket y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+  JOIN bsize s ON s.b = x.b AND s.bk = x.bk
+  WHERE s.n BETWEEN 2 AND $mb
+),
+over_b AS (SELECT b, bk, (n + ${mb - 1}) // $mb AS s FROM bsize WHERE n > $mb),
+sa0 AS (
+  SELECT x.doc_id, x.b, x.bk, o.s,
+    CAST((CAST(CAST(x.doc_id + x.b + 1 AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM $bucket x JOIN over_b o ON o.b = x.b AND o.bk = x.bk
+),
+sa1 AS (SELECT doc_id, b, bk, s, ${mulMod(30, "13787848793156543929")} AS z FROM sa0),
+sa2 AS (SELECT doc_id, b, bk, s, ${mulMod(27, "10723151780598845931")} AS z FROM sa1),
+salts AS MATERIALIZED (
+  SELECT doc_id, b, bk,
+    CAST((xor(z, z >> 31) & CAST(9223372036854775807 AS UBIGINT)) % CAST(s AS UBIGINT) AS BIGINT) AS salt
+  FROM sa2
+),
+subsize AS (SELECT b, bk, salt, COUNT(*) AS n FROM salts GROUP BY b, bk, salt),
+splitc AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM salts x
+  JOIN salts y ON x.b = y.b AND x.bk = y.bk AND x.salt = y.salt AND x.doc_id < y.doc_id
+  JOIN subsize s2 ON s2.b = x.b AND s2.bk = x.bk AND s2.salt = x.salt
+  WHERE s2.n BETWEEN 2 AND ${2 * mb}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT id_a, id_b FROM keepc UNION ALL SELECT id_a, id_b FROM splitc)
+)"""
+  }
+
   val q20MinhashPairs: String = """WITH codes AS (
   SELECT doc_id, [unicode(c) FOR c IN string_split_regex(text, '')] AS cs, length(text) AS n
   FROM documents
@@ -147,14 +200,7 @@ bk3 AS (
 ),
 bks3 AS (SELECT doc_id, b, z2 AS z FROM bk3),
 bucket AS MATERIALIZED (SELECT doc_id, b, z AS bk FROM bks3),
-bsize AS (SELECT b, bk, COUNT(*) AS n FROM bucket GROUP BY b, bk),
-cand AS MATERIALIZED (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM bucket x
-  JOIN bucket y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
-  JOIN bsize s ON s.b = x.b AND s.bk = x.bk
-  WHERE s.n BETWEEN 2 AND 64
-),
+""" + cappedCandidatesSql("bucket", 64) + """,
 est AS (
   SELECT c.id_a, c.id_b,
     SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
@@ -229,4 +275,28 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= 8"""
+
+  /** q40: the q21 simhash pipeline run through the PRODUCTION capped
+    * regime (maxBucket = 32 engages the salt-split tier on this corpus) —
+    * banded buckets for maxHamming = 8 (9 pigeonhole bands), the
+    * cap/split/sub-cap candidate machinery, then the exact hamming filter.
+    */
+  def q40SimhashCapped: String = {
+    val cut = q21SimhashPairs.lastIndexOf("SELECT a.doc_id AS id_a")
+    require(cut > 0, "q21 oracle shape changed; fix the q40 derivation")
+    val base = q21SimhashPairs.substring(0, cut).trim
+    require(base.endsWith(")"), "q21 oracle must end in a CTE before the final select")
+    base + """,
+bands AS (SELECT unnest(range(9)) AS b),
+bucket40 AS MATERIALIZED (
+  SELECT doc_id, b,
+    (h >> CAST(b * 64 // 9 AS INT)) &
+      ((CAST(1 AS UBIGINT) << CAST((b + 1) * 64 // 9 - b * 64 // 9 AS INT)) - 1) AS bk
+  FROM sh CROSS JOIN bands
+),
+""" + cappedCandidatesSql("bucket40", 32) + """
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.h, b.h)) <= 8"""
+  }
 }

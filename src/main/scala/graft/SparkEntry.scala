@@ -242,6 +242,20 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // the PRODUCTION capped regime: maxBucket = 32 forces the salt-split
+    // tier on this corpus (biggest sf0.01 bucket is 194 members), and the
+    // oracle replicates cap + split + sub-cap exactly; the require pins
+    // that splitting actually engaged and nothing was skew-dropped
+    "q40_simhash_capped" -> { (s, dir) =>
+      var rep = Dedup.DropReport(0, 0)
+      val out = Dedup.simHashPairs(s, docsKT(s, dir), maxHamming = 8, maxBucket = 32,
+          onDrop = r => rep = r)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+      require(rep.splitBuckets > 0, s"capped regime did not engage: $rep")
+      require(rep.droppedBuckets == 0, s"unexpected skew drops: $rep")
+      out
+    },
     // q22 verifies the exact-jaccard stage against a DuckDB oracle, so the
     // candidate set must be deterministic SQL (all pairs of the first 60
     // docs) rather than the minhash output; the minhash->jaccard
@@ -635,6 +649,7 @@ object SparkEntry {
         |  ON d.doc_id = t.doc_id""".stripMargin,
     "q20_minhash_pairs" -> OracleSql.q20MinhashPairs,
     "q21_simhash_pairs" -> OracleSql.q21SimhashPairs,
+    "q40_simhash_capped" -> OracleSql.q40SimhashCapped,
     "q31_sql_fm_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(text) - length(replace(text, 'en', '')) > 0

@@ -20,11 +20,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Dedup {
 
-  /** What the bucket cap threw away (count of oversized buckets and the
-    * rows inside them) — surfaced so silent truncation can't read as full
+  /** What the bucket cap did to oversized buckets. `splitBuckets`/
+    * `splitRows` count buckets salt-split into sub-buckets (pairs inside a
+    * sub-bucket are still found; cross-sub-bucket pairs are the bounded
+    * recall loss). `droppedBuckets`/`droppedRows` count sub-buckets that
+    * exceeded even the 2x slack after splitting (hash-skew pathology) and
+    * were truly dropped — surfaced so silent truncation can't read as full
     * coverage.
     */
-  final case class DropReport(droppedBuckets: Long, droppedRows: Long)
+  final case class DropReport(
+      droppedBuckets: Long,
+      droppedRows: Long,
+      splitBuckets: Long = 0L,
+      splitRows: Long = 0L)
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
 
@@ -40,11 +48,26 @@ object Dedup {
     ds.sparkSession.createDataset(
       ds.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Per-member salt for splitting an oversized bucket into `s`
+    * sub-buckets: band-dependent, so a pair missed in one band's split has
+    * an independent 1/s chance in every other shared band (coverage of an
+    * n-member degenerate bucket ≈ 1-(1-1/s)^bands rather than 1/s).
+    * Sign-masked mod (not floorMod) so the DuckDB oracle twin can compute
+    * it with unsigned arithmetic.
+    */
+  @inline private[pipeline] def subBucketSalt(id: Long, band: Int, s: Long): Long =
+    (mix(id + band + 1) & Long.MaxValue) % s
+
   /** Candidate pairs (id_a < id_b) from a banded (band, bucket, id) table,
     * with the oversized-bucket cap applied scale-safely:
     *  1. count bucket sizes (map-side combinable agg — no lists),
-    *  2. report + drop buckets over `maxBucket`,
-    *  3. only then collect the surviving (<= maxBucket) member lists and
+    *  2. buckets <= `maxBucket` pair directly; buckets over it are
+    *     salt-split into ceil(n/maxBucket) sub-buckets (bounded pair loss
+    *     across sub-buckets, reported as `splitBuckets`/`splitRows`, still
+    *     no quadratic blow-up),
+    *  3. sub-buckets still above 2x maxBucket (hash-skew pathology) are
+    *     dropped and reported,
+    *  4. only then collect the surviving (bounded) member lists and
     *     explode the in-bucket pairs.
     */
   private[pipeline] def cappedBucketPairs(
@@ -59,17 +82,49 @@ object Dedup {
         .agg(count(lit(1)).as("n"))
         .as[(Int, Long, Long)]
     ).toDF("band", "bucket", "n")
-    val dropped = sizes.filter($"n" > maxBucket)
+
+    // tier 1: in-cap buckets pair directly (salt 0 — disjoint from tier 2,
+    // whose source buckets all have n > maxBucket)
+    val keep = sizes.filter($"n" >= 2 && $"n" <= maxBucket).select($"band", $"bucket")
+    val keepRows = banded.join(keep, Seq("band", "bucket"))
+      .select($"band", $"bucket", lit(0L).as("salt"), $"id")
+
+    // tier 2: oversized buckets -> band-dependent salt split
+    val over = sizes.filter($"n" > maxBucket)
+    val split = over
       .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
       .as[(Long, Long)].head()
-    val report = DropReport(dropped._1, dropped._2)
+    val mb = maxBucket.toLong
+    val splitRows = banded.join(over, Seq("band", "bucket"))
+      .select($"band", $"bucket", $"id", $"n").as[(Int, Long, Long, Long)]
+      .map { case (band, bucket, id, n) =>
+        val s = (n + mb - 1) / mb
+        (band, bucket, subBucketSalt(id, band, s), id)
+      }.toDF("band", "bucket", "salt", "id")
+    val subSizes = autoPersist(
+      splitRows.groupBy($"band", $"bucket", $"salt")
+        .agg(count(lit(1)).as("n"))
+        .as[(Int, Long, Long, Long)]
+    ).toDF("band", "bucket", "salt", "n")
+    val dropped = subSizes.filter($"n" > 2 * mb)
+      .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
+      .as[(Long, Long)].head()
+    val keepSub = subSizes.filter($"n" >= 2 && $"n" <= 2 * mb)
+      .select($"band", $"bucket", $"salt")
+    val splitKept = splitRows.join(keepSub, Seq("band", "bucket", "salt"))
+
+    val report = DropReport(dropped._1, dropped._2, split._1, split._2)
+    if (report.splitBuckets > 0)
+      log.info(s"bucket cap $maxBucket salt-split ${report.splitBuckets} buckets " +
+        s"(${report.splitRows} member rows) into <= ~$maxBucket-member sub-buckets; " +
+        s"cross-sub-bucket pairs in them are not covered")
     if (report.droppedBuckets > 0)
-      log.warn(s"bucket cap $maxBucket dropped ${report.droppedBuckets} buckets " +
-        s"(${report.droppedRows} member rows); pairs inside them are NOT covered")
+      log.warn(s"bucket cap $maxBucket dropped ${report.droppedBuckets} skew-pathological " +
+        s"sub-buckets (${report.droppedRows} member rows); pairs inside them are NOT covered")
     onDrop(report)
-    val keep = sizes.filter($"n" >= 2 && $"n" <= maxBucket).select($"band", $"bucket")
-    banded.join(keep, Seq("band", "bucket"))
-      .groupBy($"band", $"bucket")
+
+    keepRows.union(splitKept)
+      .groupBy($"band", $"bucket", $"salt")
       .agg(sort_array(collect_list($"id")).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"

@@ -61,20 +61,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("bucket cap: degenerate corpus reports dropped buckets instead of going quadratic") {
-    // 120 identical docs: every band bucket holds all 120 ids
+  test("bucket cap: degenerate corpus is salt-split — high recall, no quadratic bucket") {
+    // 120 identical docs: every band bucket holds all 120 ids. Cap 64
+    // splits each into s=2 sub-buckets with a band-dependent salt, so a
+    // pair is covered iff it shares a sub-bucket in >= 1 band:
+    // expected coverage 1-(1/2)^bands.
     val docs = (0L until 120L).map(i => (i, "the same boilerplate page text"))
+    val total = 120 * 119 / 2
+    def expectedPairs(bands: Int): Set[(Long, Long)] =
+      (for {
+        a <- 0L until 120L; b <- (a + 1) until 120L
+        if (0 until bands).exists(band =>
+          Dedup.subBucketSalt(a, band, 2) == Dedup.subBucketSalt(b, band, 2))
+      } yield (a, b)).toSet
+
     var report = Dedup.DropReport(0, 0)
     val pairs = Dedup.simHashPairs(spark, docsDs(docs), maxHamming = 3,
       maxBucket = 64, onDrop = r => report = r)
-    assert(pairs.count() == 0) // all buckets oversized -> dropped
-    assert(report.droppedBuckets > 0 && report.droppedRows >= 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(report.splitBuckets == 4 && report.splitRows == 480) // 4 bands x 120 rows
+    assert(report.droppedBuckets == 0, report)
+    assert(pairs == expectedPairs(4), // exact split semantics (identical docs pass the hamming filter)
+      s"got ${pairs.size}, expected ${expectedPairs(4).size}")
+    assert(pairs.size >= (0.85 * total).toInt, s"recall ${pairs.size}/$total") // ~1-(1/2)^4
 
     var mhReport = Dedup.DropReport(0, 0)
     val mhPairs = Dedup.minHashPairs(spark, docsDs(docs), threshold = 0.5,
       maxBucket = 64, onDrop = r => mhReport = r)
-    assert(mhPairs.count() == 0)
-    assert(mhReport.droppedBuckets > 0 && mhReport.droppedRows >= 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhReport.splitBuckets == 16 && mhReport.splitRows == 16L * 120)
+    assert(mhReport.droppedBuckets == 0, mhReport)
+    assert(mhPairs == expectedPairs(16)) // est_jaccard = 1.0 passes the threshold
+    assert(mhPairs.size >= (0.95 * total).toInt, s"recall ${mhPairs.size}/$total") // ~1-(1/2)^16
   }
 
   test("minHashPairs finds the planted near-duplicates") {
