@@ -320,6 +320,31 @@ object SparkEntry {
           col("width"), col("height"), col("duration_us"), col("n_frames"))
     },
 
+    // --- full multimodal curation path: synth media (40 distinct
+    // deterministic payloads, group = doc_id % 40) -> extractFeatures
+    // (real BMP/WAV parse + stub embedder) -> embedding-cosine near-dup.
+    // Identical payloads embed identically (cos = 1.0); the 40 distinct
+    // stub embeddings have max pairwise cosine 0.6495 (measured — fixed
+    // for every SF since payloads depend only on the group), so tau = 0.8
+    // cleanly separates: expected pairs == same-group pairs, which is the
+    // SQL oracle. The embedder stays a declared seam (Multimodal.decodeStub).
+    "q41_media_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long].map { id =>
+        val g = id % 40
+        val payload =
+          if (g % 2 == 0)
+            graft.pipeline.Multimodal.synthBmp((g % 32 + 8).toInt, (g % 24 + 8).toInt, seed = g)
+          else
+            graft.pipeline.Multimodal.synthWav((g % 3 + 1).toInt, 8000, 500 + g, seed = g)
+        (id, payload)
+      }
+      val vecs = graft.pipeline.Multimodal.extractFeatures(s, media)
+        .map(f => (f.key, f.embedding))
+      Similarity.embeddingNearDup(s, vecs, threshold = 0.8, numBlocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // --- persisted FM-index table: build once, search from the stored
     // index without re-reading text (serialize/deserialize surface)
     "q28_fm_index_persisted" -> { (s, dir) =>
@@ -362,6 +387,18 @@ object SparkEntry {
       graft.sql.GraftFunctions.register(s)
       docs(s, dir).createOrReplaceTempView("documents")
       s.sql("SELECT doc_id, graft_simhash(text) AS sh FROM documents")
+    },
+    // SQL-surface locate: every occurrence position of each pattern,
+    // exploded to scalar rows (1-based BYTE positions; patterns are ASCII
+    // so a byte-level FM match == the oracle's char-scan position mapped
+    // through the UTF-8 prefix length)
+    "q42_sql_fm_locate" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, pattern, explode(graft_fm_locate(text, pattern)) AS pos
+              |FROM documents, (SELECT explode(array('data', 'the', 'ing')) AS pattern)
+              |""".stripMargin)
+        .orderBy(col("doc_id"), col("pattern"), col("pos"))
     },
 
     // --- the 100 TB use case end to end: curation pipeline composing
@@ -587,6 +624,10 @@ object SparkEntry {
          |SELECT doc_id, media_kind, media_bytes, width, height, duration_us,
          |       CAST(media_bytes // ${graft.pipeline.Multimodal.FrameStride} + 1 AS BIGINT) AS n_frames
          |FROM m""".stripMargin,
+    "q41_media_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40""".stripMargin,
     "q28_fm_index_persisted" ->
       """SELECT doc_id,
         |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en
@@ -658,6 +699,15 @@ object SparkEntry {
         |       THEN CAST((length(text) - length(replace(text, 'zqxj', ''))) / 4 AS BIGINT) END AS cnt_rare
         |FROM documents""".stripMargin,
     "q32_sql_simhash" -> OracleSql.q32SqlSimhash,
+    "q42_sql_fm_locate" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents
+        |),
+        |pats AS (SELECT * FROM (VALUES ('data'), ('the'), ('ing')) p(pattern))
+        |SELECT s.doc_id, p.pattern,
+        |  CAST(octet_length(encode(substr(s.text, 1, CAST(s.i AS INT)))) + 1 AS BIGINT) AS pos
+        |FROM pos0 s CROSS JOIN pats p
+        |WHERE substr(s.text, CAST(s.i + 1 AS INT), length(p.pattern)) = p.pattern""".stripMargin,
     "q33_streaming_encode" -> identityTextOracle,
     "q37_curation_pipeline" -> {
       // reuse the verified lang-id oracle as a CTE (strip its WITH prefix)

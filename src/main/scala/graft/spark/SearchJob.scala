@@ -25,6 +25,35 @@ final case class SearchHit(
 
 object SearchJob {
 
+  /** Search with index reuse: if `indexDir` holds an [[IndexJob]] table it
+    * is searched directly (no SA-IS, no touch of `docs`); otherwise the
+    * index is built there first, so the SECOND and every later invocation
+    * pays zero suffix-array construction. A pipeline that searches the
+    * same corpus repeatedly should use this entry point — the one-shot
+    * [[run]] rebuilds the per-doc FM-index on every call by design.
+    */
+  def runWithIndex(
+      spark: SparkSession,
+      docs: Dataset[(String, String)],
+      patterns: Seq[String],
+      indexDir: String,
+      compat: Boolean = false,
+      saSampleBits: Int = 5
+  ): Dataset[SearchHit] = {
+    if (!indexExists(spark, indexDir))
+      IndexJob.build(spark, docs, indexDir, saSampleBits)
+    IndexJob.search(spark, indexDir, patterns, compat)
+  }
+
+  private def indexExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** One-shot search: builds each document's FM-index inside the task and
+    * discards it. Correct for single-pass scans; for repeated searches use
+    * [[runWithIndex]] (this form pays SA-IS per invocation).
+    */
   def run(
       spark: SparkSession,
       docs: Dataset[(String, String)], // (key, text)

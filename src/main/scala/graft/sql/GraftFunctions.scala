@@ -59,6 +59,17 @@ object GraftFunctions {
 
   def simhash(s: UTF8String): Long = graft.pipeline.Dedup.simHash(s.toString)
 
+  /** FM-index locate: 1-based byte positions of every occurrence,
+    * row-ordered as the reference returns them
+    * (locateFMIndex, /root/reference/src/Data/FMIndex/Internal.hs:448-542);
+    * null (the reference's Nothing) when the pattern does not occur.
+    */
+  def fmLocate(text: UTF8String, pattern: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val pos = graft.codec.FmIndex.build(text.getBytes).locate(pattern.getBytes)
+    if (pos.isEmpty) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pos.map(_.toLong))
+  }
+
   abstract class GraftUnary extends UnaryExpression with Serializable {
     protected def staticCall: String
     protected def expectedInput: DataType
@@ -134,12 +145,37 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  case class GraftFmLocate(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // no match -> null (reference: Nothing, never Just [])
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_fm_locate expects (string, string), got (${left.dataType}, ${right.dataType})")
+    override protected def nullSafeEval(t: Any, p: Any): Any =
+      fmLocate(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String]) // may be null
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, p) => {
+        val tmp = ctx.freshName("fmloc")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp = graft.sql.GraftFunctions.fmLocate($t, $p);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_encode" -> (args => GraftEncode(args.head)),
     "graft_decode" -> (args => GraftDecode(args.head)),
     "graft_fingerprint" -> (args => GraftFingerprint(args.head)),
     "graft_simhash" -> (args => GraftSimhash(args.head)),
-    "graft_fm_count" -> (args => GraftFmCount(args(0), args(1)))
+    "graft_fm_count" -> (args => GraftFmCount(args(0), args(1))),
+    "graft_fm_locate" -> (args => GraftFmLocate(args(0), args(1)))
   )
 
   /** Programmatic registration (idempotent) for sessions we don't build
@@ -186,6 +222,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_fm_count"),
       new ExpressionInfo("graft.sql.GraftFunctions", "graft_fm_count"),
       (args: Seq[Expression]) => GraftFunctions.GraftFmCount(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fm_locate"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_fm_locate"),
+      (args: Seq[Expression]) => GraftFunctions.GraftFmLocate(args(0), args(1))
     ))
   }
 }

@@ -237,6 +237,23 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(report.mismatched_rows == 0 && report.except_violations == 0)
   }
 
+  test("SearchJob.runWithIndex: second invocation never touches docs (no SA-IS)") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(("a", "abracadabra"), ("b", "banana band stand")))
+    val dir = tmpDir("searchidx")
+    val viaIndex = SearchJob.runWithIndex(spark, docs, Seq("ab", "an"), dir)
+      .collect().map(h => (h.doc_key, h.pattern, h.cnt, h.first_pos)).toSet
+    val oneShot = SearchJob.run(spark, docs, Seq("ab", "an"))
+      .collect().map(h => (h.doc_key, h.pattern, h.cnt, h.first_pos)).toSet
+    assert(viaIndex == oneShot)
+    // an index table now exists at dir: a poisoned docs dataset proves the
+    // second invocation reads only the stored index
+    val poisoned = docs.map { _ => sys.error("docs must not be evaluated"): (String, String) }
+    val second = SearchJob.runWithIndex(spark, poisoned, Seq("ab", "an"), dir)
+      .collect().map(h => (h.doc_key, h.pattern, h.cnt, h.first_pos)).toSet
+    assert(second == oneShot)
+  }
+
   test("salting spreads skewed url-hosts across partitions") {
     import org.apache.spark.sql.functions._
     val skewed = PagesGen.generate(spark, 2000, hostSkew = true, partitions = 4)

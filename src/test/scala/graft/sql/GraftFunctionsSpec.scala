@@ -45,6 +45,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_fm_locate: positions match FmIndex.locate; absent is NULL; multibyte byte offsets") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq((1L, "abracadabra"), (2L, "no such pattern"), (3L, "naïve ab naïve ab"))
+    texts.toDF("id", "text").createOrReplaceTempView("t_fml")
+    val rows = spark.sql(
+      "SELECT id, graft_fm_locate(text, 'ab') AS pa, graft_fm_locate(text, 'zzz') AS pz FROM t_fml"
+    ).collect().sortBy(_.getLong(0))
+    texts.zip(rows).foreach { case ((_, t), r) =>
+      val expect = graft.codec.FmIndex.build(t.getBytes("UTF-8")).locate("ab".getBytes("UTF-8"))
+      if (expect.isEmpty) assert(r.isNullAt(1), "absent pattern must be NULL (reference Nothing)")
+      else assert(r.getSeq[Long](1) == expect.map(_.toLong).toSeq, s"row-ordered positions for '$t'")
+      assert(r.isNullAt(2))
+    }
+    // 'naïve ab naïve ab': ï is 2 UTF-8 bytes, so 'ab' occurs at BYTE
+    // positions 8 and 18 (1-based) — the locate is byte-addressed
+    val multibyte = rows.find(_.getLong(0) == 3L).get.getSeq[Long](1).sorted
+    assert(multibyte == Seq(8L, 18L), multibyte.toString)
+  }
+
   test("graft_simhash matches the pipeline simHash") {
     import spark.implicits._
     GraftFunctions.register(spark)
