@@ -442,29 +442,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // --- Structured Streaming ingest: documents arrive as micro-batches,
+    // --- Structured Streaming ingest over a REAL file source: documents
+    // are staged as two parquet slices (the landing-zone pattern), the
+    // stream discovers them as micro-batches (maxFilesPerTrigger = 1),
     // each encoded through the batch kernel (foreachBatch), decoded back
-    // and compared against the identity oracle. The collect below is a
-    // test-harness stream feeder (MemoryStream), not a dataflow pattern.
+    // and compared against the identity oracle. No driver-side feeder.
     "q33_streaming_encode" -> { (s, dir) =>
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = docs(s, dir).select($"doc_id", $"text").as[(Long, String)].collect()
-      val pages = rows.map { case (id, t) =>
-        graft.spark.Page(s"https://stream.test/$id", new java.sql.Timestamp(0L), null, t, null)
+      val base = s"/root/repo/target/stream_encode_${math.abs(dir.hashCode)}"
+      val staging = base + "_staging"
+      val ckpt = base + "_ckpt"
+      deleteDir(base); deleteDir(ckpt); deleteDir(staging)
+      val kt = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      val n = kt.count()
+      Seq(kt.filter($"doc_id" < n / 2), kt.filter($"doc_id" >= n / 2)).foreach { part =>
+        part.map { case (id, t) =>
+          graft.spark.Page(s"https://stream.test/$id", new java.sql.Timestamp(0L), null, t, null)
+        }.coalesce(1).write.mode("append").parquet(staging)
       }
-      val out = s"/root/repo/target/stream_encode_${math.abs(dir.hashCode)}"
-      val ckpt = out + "_ckpt"
-      deleteDir(out); deleteDir(ckpt)
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.spark.Page]
-      val half = pages.length / 2
-      stream.addData(pages.take(half).toSeq)
-      graft.streaming.StreamingEncodeJob.start(stream.toDS(), out, ckpt,
+      graft.streaming.StreamingEncodeJob.start(
+        graft.streaming.StreamingEncodeJob.pagesFileStream(s, staging), base, ckpt,
         EncodeConfig(numPartitions = 4, chunkRows = 128)).awaitTermination()
-      stream.addData(pages.drop(half).toSeq) // second micro-batch via restart
-      graft.streaming.StreamingEncodeJob.start(stream.toDS(), out, ckpt,
-        EncodeConfig(numPartitions = 4, chunkRows = 128)).awaitTermination()
-      graft.streaming.StreamingEncodeJob.decodeAll(s, out)
+      graft.streaming.StreamingEncodeJob.decodeAll(s, base)
         .map(p => (p.url.substring("https://stream.test/".length).toLong, p.text))
         .toDF("doc_id", "text_rt")
     },

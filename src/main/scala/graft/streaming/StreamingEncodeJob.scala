@@ -30,23 +30,50 @@ object StreamingEncodeJob {
 
   def batchDir(outDir: String, batchId: Long): String = s"$outDir/batch=$batchId"
 
-  /** Start the streaming encode. The caller owns the query lifecycle. */
+  /** Start the streaming encode. The caller owns the query lifecycle.
+    * `onBatchStart` fires (on the driver) before each micro-batch encodes —
+    * a failure-injection seam the kill/resume tests use to crash the query
+    * between the checkpoint offset commit and the batch work, proving the
+    * restart redelivers the same batch id idempotently.
+    */
   def start(
       pages: Dataset[Page],
       outDir: String,
       checkpointDir: String,
       cfg: EncodeConfig = EncodeConfig(),
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatchStart: Long => Unit = _ => ()
   ): StreamingQuery = {
     require(pages.isStreaming, "StreamingEncodeJob.start needs a streaming Dataset[Page]")
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        onBatchStart(batchId)
         EncodeJob.run(batch.sparkSession, batch, batchDir(outDir, batchId), cfg)
         () // Unit: the lineage dataset is persisted inside the batch dir
       }
       .start()
+  }
+
+  /** Streaming Dataset[Page] over a directory of staged parquet files —
+    * the real micro-batch discovery path (one file per trigger when
+    * `maxFilesPerTrigger = 1`). At scale this is the landing-zone pattern:
+    * crawl output lands as parquet slices; the stream discovers and
+    * encodes them incrementally with the checkpoint tracking which files
+    * are done.
+    */
+  def pagesFileStream(
+      spark: SparkSession,
+      stagingDir: String,
+      maxFilesPerTrigger: Int = 1
+  ): Dataset[Page] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Page].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(stagingDir)
+      .as[Page]
   }
 
   /** Decode every committed micro-batch back to pages (batch read). */

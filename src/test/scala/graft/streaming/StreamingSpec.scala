@@ -16,6 +16,52 @@ class StreamingSpec extends AnyFunSuite {
     d.getAbsolutePath + "/out"
   }
 
+  test("file-source stream: discovery, mid-stream kill, checkpoint resume, exactly once") {
+    val pages = (0 until 90).map(i => PagesGen.page(11L, i.toLong, 90, hostSkew = false))
+    val staging = tmp("stage")
+    val out = tmp("fsrc")
+    val ckpt = tmp("fsrc_ckpt")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    // stage three parquet slices (one part-file each -> three micro-batches)
+    (0 until 3).foreach { s =>
+      spark.createDataset(pages.slice(s * 30, s * 30 + 30))
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+
+    // run 1: crash injected at the start of batch 1 — batch 0 is committed,
+    // batch 1's offsets may already be checkpointed but no work happened
+    val q1 = StreamingEncodeJob.start(
+      StreamingEncodeJob.pagesFileStream(spark, staging), out, ckpt, cfg,
+      onBatchStart = id => if (id == 1) sys.error("injected crash before batch 1"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(err.getMessage.contains("injected crash"))
+    assert(new java.io.File(out, "batch=0").exists())
+    assert(!new java.io.File(out, "batch=2").exists())
+
+    // run 2: restart from the checkpoint — batch 1 is redelivered with the
+    // SAME id, then batch 2; nothing is reprocessed twice, nothing skipped
+    val q2 = StreamingEncodeJob.start(
+      StreamingEncodeJob.pagesFileStream(spark, staging), out, ckpt, cfg)
+    q2.awaitTermination()
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch="))
+      .map(_.getName).sorted
+    assert(batchDirs.toSeq == Seq("batch=0", "batch=1", "batch=2"), batchDirs.mkString(","))
+
+    val decoded = StreamingEncodeJob.decodeAll(spark, out)
+    assert(decoded.count() == 90)
+    assert(decoded.select("url").distinct().count() == 90) // exactly once, no dupes
+    // bit-identical against the staged source
+    val orig = spark.createDataset(pages)
+    val joined = decoded.toDF("d_url", "d_ts", "d_html", "d_text", "d_lang")
+      .join(orig.toDF("url", "ts", "html", "text", "lang"), $"d_url" === $"url")
+    assert(joined.count() == 90)
+    assert(joined.filter(
+      !($"d_text" <=> $"text") || !($"d_lang" <=> $"lang") ||
+        !($"d_html" <=> $"html") || !($"d_ts" <=> $"ts")).count() == 0)
+  }
+
   test("streaming encode: micro-batches run the batch kernel; decode is bit-identical") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val pages = (0 until 120).map(i => PagesGen.page(7L, i.toLong, 120, hostSkew = false))
