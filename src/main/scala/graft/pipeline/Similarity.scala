@@ -133,9 +133,10 @@ object Similarity {
   }
 
   /** Hard ceiling for the exact near-dup tier. At the measured kernel rate
-    * (~40M cosine evaluations/s/core on 16-dim floats, BENCH/BASELINE.md
+    * (2.4e7 cosine evaluations/s/core on dim-16 floats —
+    * graft.tools.CosineRateProbe, committed in BENCH/BASELINE.md
     * §exact-tier-crossover) 2^21 vectors is ~2.2e12 pair evaluations —
-    * ~30 min on a 32-core node, the outer edge of "verification-scale".
+    * ~47 min on a 32-core node, the outer edge of "verification-scale".
     * Beyond it [[embeddingNearDupLsh]] (banded candidates + exact verify)
     * is the only viable path, so the exact tier refuses rather than
     * silently launching an n^2 job on a corpus-scale table.
