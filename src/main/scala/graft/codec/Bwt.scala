@@ -57,36 +57,49 @@ object BwtCodec {
     val n = b.data.length
     if (b.sentinelPos < 0) return Array.emptyByteArray
     if (n == 0) return Array.emptyByteArray
+    val m = n + 1
+    val sp = b.sentinelPos
 
-    // alphabet codes: 0 = sentinel, byte v -> v+1
-    val counts = new Array[Int](258)
-    counts(0) = 1
+    // Materialize the L column as alphabet codes (0 = sentinel, byte v ->
+    // v+1) ONCE: the old per-access `symbolAt` cost two compares per read,
+    // and the LF build + walk read L 2n times — the branchy form measured
+    // 115 MB/s, this one ~2x (BENCH/BASELINE.md round-3 log).
+    val codes = new Array[Short](m)
     var i = 0
-    while (i < n) { counts((b.data(i) & 0xFF) + 1) += 1; i += 1 }
+    while (i < sp) { codes(i) = ((b.data(i) & 0xFF) + 1).toShort; i += 1 }
+    // codes(sp) = 0 (sentinel) — array default
+    i = sp + 1
+    while (i < m) { codes(i) = ((b.data(i - 1) & 0xFF) + 1).toShort; i += 1 }
+
+    val counts = new Array[Int](258)
+    i = 0
+    while (i < m) { counts(codes(i)) += 1; i += 1 }
     val starts = new Array[Int](258)
     var sum = 0
     var c = 0
     while (c < 258) { starts(c) = sum; sum += counts(c); c += 1 }
 
-    // LF(i) = C[L(i)] + rank(L(i), i): stable counting pass over L
-    val lf = new Array[Int](n + 1)
-    val seen = new Array[Int](258)
+    // LF(i) = C[L(i)] + rank(L(i), i): stable counting pass over codes
+    // (starts doubles as the running next-slot cursor)
+    val lf = new Array[Int](m)
     i = 0
-    while (i <= n) {
-      val code = if (i == b.sentinelPos) 0 else (b.symbolAt(i) + 1)
-      lf(i) = starts(code) + seen(code)
-      seen(code) += 1
+    while (i < m) {
+      val code = codes(i)
+      lf(i) = starts(code)
+      starts(code) += 1
       i += 1
     }
 
     // Row 0 of the sorted rotations starts with the sentinel; its last
     // column entry L(0) is the final byte of the text. Following LF emits
-    // the text right-to-left.
+    // the text right-to-left. The walk never lands on the sentinel row of
+    // the L column (that row corresponds to suffix position 0, which would
+    // be step n), so codes(p) - 1 is always a real byte.
     val out = new Array[Byte](n)
     var p = 0
     var w = n - 1
     while (w >= 0) {
-      out(w) = b.symbolAt(p).toByte
+      out(w) = (codes(p) - 1).toByte
       p = lf(p)
       w -= 1
     }

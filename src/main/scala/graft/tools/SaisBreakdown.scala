@@ -1,0 +1,145 @@
+package graft.tools
+
+/** Instrumented copy of SuffixArrays.saisBytes: per-phase wall time for the
+  * byte-specialized top level (fused scan / first induce / naming /
+  * recursion / final induce) — decides where round-3 SA optimization
+  * effort goes.
+  */
+object SaisBreakdown {
+  def main(args: Array[String]): Unit = {
+    val docs = (0L until 2000L).map(i => graft.spark.PagesGen.page(42L, i, 100, hostSkew = false))
+    val sb = new StringBuilder
+    docs.foreach(d => sb.append(d.text))
+    val t = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    println(s"input ${t.length / 1e6} MB")
+    graft.codec.SuffixArrays.build(t) // warm
+    (1 to 3).foreach(_ => run(t))
+    // whole-build timing through the production dispatch
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      val sa = graft.codec.SuffixArrays.build(t)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"build total=$sec%.3f (${t.length / 1e6 / sec}%.1f MB/s) sa0=${sa(0)}")
+    }
+  }
+
+  def run(t: Array[Byte]): Unit = {
+    val tn = t.length
+    val n = tn + 1
+    val k = 257
+    val sa = new Array[Int](n)
+    @inline def sAt(i: Int): Int = if (i == tn) 0 else (t(i) & 0xFF) + 1
+
+    var t0 = System.nanoTime()
+    val isS = new Array[Boolean](n)
+    val bktSize = new Array[Int](k)
+    isS(n - 1) = true
+    bktSize(0) = 1
+    var m = 0
+    var i = n - 2
+    while (i >= 0) {
+      val si = sAt(i)
+      val sj = sAt(i + 1)
+      bktSize(si) += 1
+      val s = si < sj || (si == sj && isS(i + 1))
+      isS(i) = s
+      if (!s && isS(i + 1)) { m += 1; sa(n - m) = i + 1 }
+      i -= 1
+    }
+    val bkt = new Array[Int](k)
+    val lmsPos = new Array[Int](m)
+    i = 0
+    while (i < m) { lmsPos(i) = sa(n - m + i); i += 1 }
+    val bktStart = new Array[Int](k)
+    val bktEnd = new Array[Int](k)
+    var sum0 = 0
+    var c0 = 0
+    while (c0 < k) { bktStart(c0) = sum0; sum0 += bktSize(c0); bktEnd(c0) = sum0; c0 += 1 }
+    val tScan = (System.nanoTime() - t0) / 1e9
+
+    def induceB(lms: Array[Int], mm: Int): Unit = {
+      java.util.Arrays.fill(sa, -1)
+      System.arraycopy(bktEnd, 0, bkt, 0, k)
+      var j = mm - 1
+      while (j >= 0) { val p = lms(j); val ch = sAt(p); bkt(ch) -= 1; sa(bkt(ch)) = p; j -= 1 }
+      System.arraycopy(bktStart, 0, bkt, 0, k)
+      var q = 0
+      while (q < n) {
+        val p = sa(q)
+        if (p > 0 && !isS(p - 1)) { val ch = sAt(p - 1); sa(bkt(ch)) = p - 1; bkt(ch) += 1 }
+        q += 1
+      }
+      System.arraycopy(bktEnd, 0, bkt, 0, k)
+      q = n - 1
+      while (q >= 0) {
+        val p = sa(q)
+        if (p > 0 && isS(p - 1)) { val ch = sAt(p - 1); bkt(ch) -= 1; sa(bkt(ch)) = p - 1 }
+        q -= 1
+      }
+    }
+
+    t0 = System.nanoTime()
+    induceB(lmsPos, m)
+    val tInduce1 = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val sortedLms = new Array[Int](m)
+    var w = 0
+    i = 0
+    while (i < n) {
+      val p = sa(i)
+      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
+      i += 1
+    }
+    val name = new Array[Int](n)
+    var curName = 0
+    name(sortedLms(0)) = 0
+    var prev = sortedLms(0)
+    var j = 1
+    while (j < m) {
+      val cur = sortedLms(j)
+      var eq = prev == cur
+      if (!eq) {
+        var a = prev; var b = cur; var first = true; var decided = false
+        while (!decided) {
+          if (sAt(a) != sAt(b) || isS(a) != isS(b)) { eq = false; decided = true }
+          else if (!first && (((a > 0 && isS(a) && !isS(a - 1))) || ((b > 0 && isS(b) && !isS(b - 1))))) {
+            eq = (a > 0 && isS(a) && !isS(a - 1)) && (b > 0 && isS(b) && !isS(b - 1)); decided = true
+          } else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
+          else { a += 1; b += 1; first = false }
+        }
+      }
+      if (!eq) curName += 1
+      name(cur) = curName
+      prev = cur
+      j += 1
+    }
+    val numNames = curName + 1
+    val tName = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val orderedLms =
+      if (numNames == m) sortedLms
+      else {
+        val s1 = new Array[Int](m)
+        w = 0
+        i = 1
+        while (i < n) { if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }; i += 1 }
+        val sa1 = graft.codec.SuffixArrays.sais(s1, numNames)
+        val out = new Array[Int](m)
+        j = 0
+        while (j < m) { out(j) = lmsPos(sa1(j)); j += 1 }
+        out
+      }
+    val tRec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    induceB(orderedLms, m)
+    val tInduce2 = (System.nanoTime() - t0) / 1e9
+
+    val total = tScan + tInduce1 + tName + tRec + tInduce2
+    println(f"m=$m names=$numNames scan=$tScan%.3f induce1=$tInduce1%.3f name=$tName%.3f" +
+      f" rec=$tRec%.3f induce2=$tInduce2%.3f total=$total%.3f (${tn / 1e6 / total}%.1f MB/s)" +
+      f" sa0=${sa(0)}")
+  }
+}
