@@ -51,7 +51,23 @@ object Bytes {
     def readByte(): Int = { val b = arr(pos) & 0xFF; pos += 1; b }
 
     def readBytes(n: Int): Array[Byte] = {
+      // strict: a truncated/corrupt payload must throw, not zero-pad
+      // (copyOfRange silently pads past the end)
+      require(n >= 0 && n <= arr.length - pos,
+        s"corrupt payload: need $n bytes at $pos of ${arr.length}")
       val out = java.util.Arrays.copyOfRange(arr, pos, pos + n); pos += n; out
+    }
+
+    /** VarInt that must be a sane element count for a decode-side array
+      * allocation: non-negative and no larger than `bytesPerElement`
+      * payload bytes could possibly encode — a corrupt length varint must
+      * throw promptly, not OOM the executor with a multi-GB allocation.
+      */
+    def readVarSize(bytesPerElement: Int = 1): Int = {
+      val v = readVarLong()
+      require(v >= 0 && v <= remaining.toLong / bytesPerElement + 1,
+        s"corrupt payload: implausible element count $v with $remaining bytes left")
+      v.toInt
     }
 
     def readVarLong(): Long = {

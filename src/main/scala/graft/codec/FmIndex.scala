@@ -112,6 +112,10 @@ final class FmIndex private (
       if (j >= 0) return sampleVals(j) + steps
       r = lfStep(r)
       steps += 1
+      // a consistent index reaches a sample or the sentinel within n steps;
+      // a corrupt one can make LF cycle — throw instead of hanging the task
+      if (steps > total)
+        throw new IllegalArgumentException("corrupt FM-index: LF walk did not terminate")
     }
     steps // the sentinel row's SA value is 0
   }
@@ -259,43 +263,69 @@ object FmIndex {
       sa, 0, Array.emptyIntArray, Array.emptyIntArray)
   }
 
+  /** Strict deserialization: every length/structure field is validated
+    * before it drives an allocation or a loop, so a corrupt stored index
+    * row (inevitable somewhere in a 10^12-row table) throws promptly
+    * instead of hanging, OOMing, or silently zero-padding (see
+    * FuzzDecodeSpec).
+    */
   def deserialize(payload: Array[Byte]): FmIndex = {
     val rd = new Bytes.Reader(payload)
     val version = rd.readByte()
     require(version == 1 || version == 2, s"unknown fm-index format version $version")
-    val n = rd.readVarInt()
+    val n = rd.readVarSize()
     val sentinelPos = rd.readVarInt() - 1
+    require(sentinelPos >= -1 && sentinelPos <= n, s"corrupt fm-index: sentinel $sentinelPos of $n")
+    require((sentinelPos == -1) == (n == 0), s"corrupt fm-index: sentinel $sentinelPos of $n")
     val data = rd.readBytes(n)
-    val alphaLen = rd.readVarInt()
+    val alphaLen = rd.readVarSize()
+    require(alphaLen <= 256, s"corrupt fm-index: alphabet size $alphaLen")
     val alphabet = rd.readBytes(alphaLen)
     val cTable = new Array[Int](alphaLen)
     val symCount = new Array[Int](alphaLen)
     var i = 0
     while (i < alphaLen) { cTable(i) = rd.readVarInt(); symCount(i) = rd.readVarInt(); i += 1 }
     val blockBits = rd.readByte()
-    val ckpt = new Array[Int](rd.readVarInt())
+    require(blockBits >= 0 && blockBits <= 30, s"corrupt fm-index: blockBits $blockBits")
+    val ckptLen = rd.readVarSize()
+    // must match the build layout exactly: ((n+1) >> blockBits + 1) blocks
+    // of max(sigma, 1) running counts — anything else makes occ() unsafe
+    require(ckptLen == (((n + 1) >> blockBits) + 1) * math.max(alphaLen, 1),
+      s"corrupt fm-index: checkpoint table length $ckptLen for n=$n sigma=$alphaLen")
+    val ckpt = new Array[Int](ckptLen)
     i = 0
     while (i < ckpt.length) { ckpt(i) = rd.readVarInt(); i += 1 }
     val byteToDense = Array.fill(256)(-1)
     i = 0
     while (i < alphaLen) { byteToDense(alphabet(i) & 0xFF) = i; i += 1 }
     if (version == 1) {
+      require(rd.remaining.toLong >= n.toLong + 1, // n+1 varints of >= 1 byte each
+        s"corrupt fm-index: truncated SA (${rd.remaining} bytes for ${n + 1} entries)")
       val sa = new Array[Int](n + 1)
       i = 0
-      while (i <= n) { sa(i) = rd.readVarInt(); i += 1 }
+      while (i <= n) {
+        sa(i) = rd.readVarInt()
+        require(sa(i) >= 0 && sa(i) <= n, s"corrupt fm-index: SA value ${sa(i)} of $n")
+        i += 1
+      }
       new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount,
         ckpt, blockBits, sa, 0, Array.emptyIntArray, Array.emptyIntArray)
     } else {
       val saSampleBits = rd.readByte()
-      val m = rd.readVarInt()
+      require(saSampleBits > 0 && saSampleBits < 31, s"corrupt fm-index: sampleBits $saSampleBits")
+      val m = rd.readVarSize(bytesPerElement = 2) // each sample is >= 2 bytes
       val rows = new Array[Int](m)
       val vals = new Array[Int](m)
       var row = 0
       i = 0
       while (i < m) {
-        row += rd.readVarInt()
+        val delta = rd.readVarInt()
+        require(delta > 0, "corrupt fm-index: non-ascending sample rows")
+        row += delta
+        require(row <= n, s"corrupt fm-index: sample row $row of $n")
         rows(i) = row
         vals(i) = rd.readVarInt()
+        require(vals(i) >= 0 && vals(i) <= n, s"corrupt fm-index: sample SA value ${vals(i)}")
         i += 1
       }
       new FmIndex(Bwt(data, sentinelPos), alphabet, byteToDense, cTable, symCount,

@@ -163,10 +163,17 @@ object ReferenceRle {
     *  - a non-numeric count token fails (the reference's `read` crash,
     *    surfaced as a NumberFormatException here).
     * Returns the symbol stream: `None` = sentinel, `Some(code)` = char.
+    *
+    * `maxExpanded` is a decompression-bomb guard: a corrupt count token can
+    * demand a multi-GB expansion from a few bytes of input, which must
+    * throw promptly rather than OOM the executor. The default (64M
+    * symbols) is far above any legitimate per-value stream; callers
+    * migrating genuinely huge values pass a larger bound explicitly.
     */
-  def parse(tokens: Seq[Option[String]]): Vector[Option[Int]] = {
+  def parse(tokens: Seq[Option[String]], maxExpanded: Int = 1 << 26): Vector[Option[Int]] = {
     val buf = tokens.toIndexedSeq
     val out = Vector.newBuilder[Option[Int]]
+    var expanded = 0L
     var i = 0
     while (i + 1 < buf.length) {
       val y1 = buf(i)
@@ -177,6 +184,9 @@ object ReferenceRle {
           throw new IllegalArgumentException("sentinel in count position")).toInt
         val sym = y2.get
         require(sym.length == 1, s"symbol token must be a single char: '$sym'")
+        expanded += math.max(count, 0)
+        require(expanded <= maxExpanded,
+          s"RLE stream expands past $maxExpanded symbols — corrupt count or raise maxExpanded")
         var c = 0
         while (c < count) { out += Some(sym.charAt(0).toInt); c += 1 }
       }
