@@ -9,6 +9,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Bench {
 
+  // set by fm_index_build; lets fm_search_indexed measure ONLY the search
+  // (no corpus re-aggregation inside the timed window) and refuse to search
+  // an index built for a different SF (e.g. the warmup's)
+  @volatile private var builtIndexFor: String = ""
+  @volatile private var corpusTextBytes: Long = -1L
+
   /** Headline workloads. Each returns (bytesProcessed, rowsProcessed). */
   def workloads(sfDir: String): Seq[(String, SparkSession => (Long, Long))] = Seq(
     // north-star: full pages encode (synthesized at a size matched to the
@@ -78,17 +84,19 @@ object Bench {
           org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))),
           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
         .first()
+      builtIndexFor = sfDir
+      corpusTextBytes = row.getLong(0)
       (row.getLong(0), row.getLong(1))
     },
     "fm_search_indexed" -> { s =>
+      // timed window contains ONLY the stored-index search; the bytes
+      // denominator was computed by fm_index_build, and searching an index
+      // built for another SF (a failed build pass) is an error, not a
+      // plausible-looking number
+      require(builtIndexFor == sfDir, s"fm_index not built for $sfDir (got '$builtIndexFor')")
       val hits = graft.spark.IndexJob.search(s, benchDir("fm_index"),
         Seq("data", "the", "2022", "page"))
-      val n = hits.count()
-      val bytes = s.read.parquet(s"$sfDir/documents.parquet")
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))))
-        .first().getLong(0)
-      (bytes, n)
+      (corpusTextBytes, hits.count())
     },
     "dedup_minhash" -> { s =>
       import s.implicits._

@@ -40,6 +40,21 @@ object SparkEntry {
   private val identityTextOracle =
     "SELECT doc_id, text AS text_rt FROM documents"
 
+  /** Brute-force cosine top-k oracle over the standard 5 query ids —
+    * shared by q19/q36 and every exact-degeneration ANN query (q25/q38/
+    * q39) so a future tie-break or cast fix cannot silently diverge
+    * between them.
+    */
+  private val annTopKOracle =
+    """SELECT query_id, nbr_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        |                                     b.vec_id ASC) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------ flagship
 
   /** Flagship on sf0.001: synthesize the north-rule pages table, run the
@@ -599,15 +614,7 @@ object SparkEntry {
     "q18_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q19_ann_cosine" ->
-      """SELECT query_id, nbr_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |                                     b.vec_id ASC) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin,
+    "q19_ann_cosine" -> annTopKOracle,
     "q27_media_features" ->
       s"""WITH m AS (
          |  SELECT doc_id,
@@ -725,15 +732,7 @@ object SparkEntry {
          |FROM q JOIN keep USING (doc_id) JOIN lang ON lang.doc_id = q.doc_id
          |WHERE lang.lang_guess = 'en' AND q.n_tokens >= 30 AND NOT q.is_short""".stripMargin
     },
-    "q36_ann_ivf" ->
-      """SELECT query_id, nbr_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |                                     b.vec_id ASC) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin,
+    "q36_ann_ivf" -> annTopKOracle,
     "q35_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
@@ -752,34 +751,10 @@ object SparkEntry {
         |FROM documents d CROSS JOIN (VALUES ('data'), ('the'), ('ing')) p(pattern)""".stripMargin,
     // q25 runs lshTopK at multiProbe = bitsPerBand (exact degeneration), so
     // the brute-force top-k oracle applies verbatim
-    "q25_ann_lsh" ->
-      """SELECT query_id, nbr_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |                                     b.vec_id ASC) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin,
+    "q25_ann_lsh" -> annTopKOracle,
     // q38/q39 run the stored-index searches at full probe (exact
     // degeneration), so the brute-force top-k oracle applies verbatim
-    "q38_ann_ivf_stored" ->
-      """SELECT query_id, nbr_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |                                     b.vec_id ASC) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin,
-    "q39_ann_lsh_stored" ->
-      """SELECT query_id, nbr_id, rank FROM (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
-        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |                            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
-        |                                     b.vec_id ASC) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id IN (0,1,2,3,4) AND b.vec_id <> a.vec_id
-        |) WHERE rank <= 5""".stripMargin
+    "q38_ann_ivf_stored" -> annTopKOracle,
+    "q39_ann_lsh_stored" -> annTopKOracle
   )
 }

@@ -33,6 +33,22 @@ object ColumnCodec {
   final val MaxBwtDocBytes: Int = 8 << 20
 
   final val NullWrap = 6 // null-presence bitmap + inner payload
+
+  /** Structural decode bounds (corrupt-payload guards — FuzzDecodeSpec):
+    * a flipped length varint must throw promptly, never drive a multi-GB
+    * allocation. MaxChunkValues is far above any real chunkRows config;
+    * MaxDecodedValueBytes bounds single-value expansions on paths without
+    * a tighter structural bound.
+    */
+  final val MaxChunkValues = 1 << 22
+  final val MaxDecodedValueBytes = 1 << 28
+
+  /** Per-chunk value count with the corruption guard applied. */
+  private def readCount(rd: Bytes.Reader): Int = {
+    val n = rd.readVarInt()
+    require(n >= 0 && n <= MaxChunkValues, s"corrupt chunk payload: value count $n")
+    n
+  }
   // long column codecs
   final val RawLong = 10
   final val ForPack = 11
@@ -182,7 +198,7 @@ object ColumnCodec {
       case _ => return decodeBinary(payload)
     }
     val rd = new Bytes.Reader(payload, 1)
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val bitmap = rd.readBytes((n + 7) / 8)
     val inner = decodeBinary(rd.readBytes(rd.remaining))
     var i = 0
@@ -232,7 +248,7 @@ object ColumnCodec {
   }
 
   private def decodeRawBin(rd: Bytes.Reader): Array[Array[Byte]] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     Array.fill(n)(rd.readBytes(rd.readVarInt()))
   }
 
@@ -257,8 +273,9 @@ object ColumnCodec {
   }
 
   private def decodeDict(rd: Bytes.Reader): Array[Array[Byte]] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val dictLen = rd.readVarInt()
+    require(dictLen >= 0 && dictLen <= n, s"corrupt dict payload: $dictLen entries for $n values")
     val dict = Array.fill(dictLen)(rd.readBytes(rd.readVarInt()))
     val width = rd.readByte()
     val codes = Bytes.unpackBits(rd.readBytes(rd.remaining), n, width)
@@ -283,7 +300,7 @@ object ColumnCodec {
   }
 
   private def decodeRleValues(rd: Bytes.Reader): Array[Array[Byte]] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val out = new Array[Array[Byte]](n)
     var w = 0
     while (w < n) {
@@ -318,7 +335,7 @@ object ColumnCodec {
   }
 
   private def decodeFsst(rd: Bytes.Reader): Array[Array[Byte]] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val table = Fsst.deserializeTable(rd)
     val lens = Array.fill(n)(rd.readVarInt())
     val data = rd.readBytes(rd.remaining)
@@ -349,7 +366,7 @@ object ColumnCodec {
   }
 
   private def decodeBwtValues(rd: Bytes.Reader): Array[Array[Byte]] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     Array.fill(n)(Pipelines.textDecode(rd.readBytes(rd.readVarInt())))
   }
 
@@ -406,7 +423,7 @@ object ColumnCodec {
   }
 
   private def decodeRawLong(rd: Bytes.Reader): Array[Long] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     Array.fill(n)(rd.readZigZag())
   }
 
@@ -423,7 +440,7 @@ object ColumnCodec {
   }
 
   private def decodeForPack(rd: Bytes.Reader): Array[Long] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val min = rd.readZigZag()
     val width = rd.readByte()
     Bytes.unpackBits(rd.readBytes(rd.remaining), n, width).map(_ + min)
@@ -445,7 +462,7 @@ object ColumnCodec {
   }
 
   private def decodeDeltaForImpl(rd: Bytes.Reader): Array[Long] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val first = rd.readZigZag()
     val width = rd.readByte()
     val deltas = Bytes.unpackBits(rd.readBytes(rd.remaining), n - 1, width)
@@ -472,7 +489,7 @@ object ColumnCodec {
   }
 
   private def decodeRleLong(rd: Bytes.Reader): Array[Long] = {
-    val n = rd.readVarInt()
+    val n = readCount(rd)
     val out = new Array[Long](n)
     var w = 0
     while (w < n) {

@@ -164,6 +164,11 @@ object Huffman {
   private def decompressImpl(payload: Array[Byte], limit: Int): Array[Byte] = {
     val rd = new Bytes.Reader(payload)
     val n0 = rd.readVarInt()
+    // structural bound: the shortest possible code is 1 bit, so a valid
+    // stream never decodes to more than 8x its payload bytes — a corrupt
+    // length varint must throw, not allocate multi-GB (FuzzDecodeSpec)
+    require(n0 >= 0 && n0.toLong <= 8L * payload.length,
+      s"corrupt huffman payload: declared size $n0 from ${payload.length} bytes")
     val lens = new Array[Int](256)
     var i = 0
     while (i < 256) {

@@ -130,7 +130,10 @@ object MtfCodec {
   def deserialize(bytes: Array[Byte]): MtfChunk = {
     val rd = new Bytes.Reader(bytes)
     val total = rd.readVarInt()
+    require(total >= 0 && total <= ColumnCodec.MaxBwtDocBytes + 2,
+      s"corrupt MTF payload: declared length $total")
     val alphaLen = rd.readVarInt()
+    require(alphaLen >= 0 && alphaLen <= 256, s"corrupt MTF payload: alphabet size $alphaLen")
     val alphabet = rd.readBytes(alphaLen)
     val width = rd.readByte()
     val packed = rd.readBytes(rd.remaining)

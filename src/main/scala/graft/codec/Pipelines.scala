@@ -58,7 +58,12 @@ object Pipelines {
   def bwtMtfRleDecode(payload: Array[Byte]): Array[Byte] = {
     val rd = new Bytes.Reader(payload)
     val totalLen = rd.readVarInt()
+    // BWT only ever runs under MaxBwtDocBytes, so a larger declared stream
+    // is corrupt — throw before the allocation, not OOM (FuzzDecodeSpec)
+    require(totalLen >= 0 && totalLen <= ColumnCodec.MaxBwtDocBytes + 2,
+      s"corrupt bwt+mtf+rle payload: declared length $totalLen")
     val alphaLen = rd.readVarInt()
+    require(alphaLen >= 0 && alphaLen <= 257, s"corrupt payload: alphabet size $alphaLen")
     val alphabet = rd.readBytes(alphaLen)
     val indices = new Array[Int](totalLen)
     var w = 0
@@ -93,6 +98,8 @@ object Pipelines {
   def rleDirectDecode(payload: Array[Byte]): Array[Byte] = {
     val rd = new Bytes.Reader(payload)
     val n = rd.readVarInt()
+    require(n >= 0 && n <= ColumnCodec.MaxDecodedValueBytes,
+      s"corrupt rle payload: declared length $n")
     val out = new Array[Byte](n)
     var w = 0
     while (w < n) {

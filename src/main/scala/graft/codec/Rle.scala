@@ -51,12 +51,16 @@ object RleCodec {
 
   def decode(r: RleChunk): Bwt = {
     if (r.counts.isEmpty) return Bwt(Array.emptyByteArray, -1)
-    var n = 0
+    var nL = 0L
     var i = 0
     while (i < r.counts.length) {
-      if (i != r.sentinelRun) n += r.counts(i)
+      if (i != r.sentinelRun) nL += math.max(r.counts(i), 0)
       i += 1
     }
+    // BWT-path RLE never legitimately expands past the BWT size cap; a
+    // corrupt count must throw, not allocate unboundedly (FuzzDecodeSpec)
+    require(nL <= ColumnCodec.MaxBwtDocBytes + 2L, s"corrupt RLE chunk: expands to $nL bytes")
+    val n = nL.toInt
     val data = new Array[Byte](n)
     var sentinelPos = -1
     var w = 0
@@ -166,11 +170,13 @@ object ReferenceRle {
     *
     * `maxExpanded` is a decompression-bomb guard: a corrupt count token can
     * demand a multi-GB expansion from a few bytes of input, which must
-    * throw promptly rather than OOM the executor. The default (64M
-    * symbols) is far above any legitimate per-value stream; callers
-    * migrating genuinely huge values pass a larger bound explicitly.
+    * throw promptly rather than OOM the executor. The output is a BOXED
+    * Vector (~24-32 bytes per element), so the default bound is 4M
+    * symbols (~100-130 MB) — far above any legitimate per-value stream;
+    * callers migrating genuinely huge values pass a larger bound
+    * explicitly.
     */
-  def parse(tokens: Seq[Option[String]], maxExpanded: Int = 1 << 26): Vector[Option[Int]] = {
+  def parse(tokens: Seq[Option[String]], maxExpanded: Int = 1 << 22): Vector[Option[Int]] = {
     val buf = tokens.toIndexedSeq
     val out = Vector.newBuilder[Option[Int]]
     var expanded = 0L

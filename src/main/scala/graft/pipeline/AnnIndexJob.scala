@@ -36,7 +36,7 @@ object AnnIndexJob {
   final case class RhpRow(band: Int, bucket: Long, id: Long, sig: Long, vec: Array[Float])
   final case class RhpMeta(bands: Int, bitsPerBand: Int, seed: Long)
 
-  final val RhpSeed = 0xC0FFEEL
+  final val RhpSeed = Similarity.RhpSeed
 
   private def ivfCentroidsPath(dir: String) = s"$dir/ivf_centroids"
   private def ivfAssignPath(dir: String) = s"$dir/ivf_assign"
@@ -217,6 +217,8 @@ object AnnIndexJob {
   ): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(rhpMetaPath(indexDir)).as[RhpMeta].head()
+    require(meta.seed == RhpSeed,
+      s"stored RHP index used seed ${meta.seed}; this build's hyperplane family uses $RhpSeed")
     val bands = meta.bands
     val bits = meta.bitsPerBand
     val mp = math.min(multiProbe, bits)

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Seed of the deterministic RHP hyperplane family. ONE constant shared
+    * by the in-memory lshTopK/embeddingNearDupLsh paths and the stored
+    * AnnIndexJob RHP index — if they ever diverged, stored-vs-in-memory
+    * parity would break silently in the approximate regime.
+    */
+  final val RhpSeed = 0xC0FFEEL
+
   /** Worst-kept-first ordering for a bounded top-k heap under the result
     * order (cos desc, nbr_id asc): the heap head is the element the next
     * better candidate evicts.
@@ -205,7 +212,7 @@ object Similarity {
   ): DataFrame = {
     import spark.implicits._
     val banded = vectors.flatMap { case (id, vec) =>
-      val sig = rhpSignature(vec, bands * bitsPerBand, 0xC0FFEEL)
+      val sig = rhpSignature(vec, bands * bitsPerBand, RhpSeed)
       (0 until bands).iterator.map { b =>
         (b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1), id)
       }
@@ -339,7 +346,7 @@ object Similarity {
   ): DataFrame = {
     import spark.implicits._
     val banded = vectors.flatMap { case (id, vec) =>
-      val sig = rhpSignature(vec, bands * bitsPerBand, 0xC0FFEEL)
+      val sig = rhpSignature(vec, bands * bitsPerBand, RhpSeed)
       (0 until bands).iterator.map { b =>
         (b, (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1), id)
       }
@@ -347,7 +354,7 @@ object Similarity {
 
     val queries = collectQueries(vectors, queryIds)
     val bc = spark.sparkContext.broadcast(queries.map { case (id, v) =>
-      (id, v, rhpSignature(v, bands * bitsPerBand, 0xC0FFEEL))
+      (id, v, rhpSignature(v, bands * bitsPerBand, RhpSeed))
     })
     val vecById = vectors.toDF("id", "vec")
 

@@ -313,7 +313,7 @@ object EncodeJob {
         ((url, ts, html, text, lang))
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
-      val rows = rows0.sortBy(_._1)(utf8Ordering)
+      val rows = sortByUrlUtf8(rows0)(_._1)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
         preEncodedChunkColumns(pid, cid, chunk, bwtBias)
       }.toVector
@@ -417,9 +417,14 @@ object EncodeJob {
     * for urls containing supplementary (non-BMP) characters, where Java
     * String UTF-16 order diverges from UTF-8 byte order.
     */
-  private[spark] val utf8Ordering: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int =
-      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+  private[spark] def sortByUrlUtf8[T](
+      rows: scala.collection.mutable.ArrayBuffer[T]
+  )(url: T => String): scala.collection.mutable.ArrayBuffer[T] = {
+    // schwartzian: encode each url to UTF-8 ONCE (sortBy would re-encode
+    // both sides on every comparison — O(n log n) transient allocations)
+    val keyed = rows.map(r => (url(r).getBytes(UTF_8), r))
+    keyed.sortInPlaceWith((x, y) => java.util.Arrays.compareUnsigned(x._1, y._1) < 0)
+    keyed.map(_._2)
   }
 
   /** FNV-1a 64-bit (public domain) — deterministic payload fingerprint. */
@@ -454,7 +459,7 @@ object EncodeJob {
         ((url, ts, html, text, lang))
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
-      val rows = rows0.sortBy(_._1)(utf8Ordering) // deterministic chunk layout (by url, UTF-8 byte order)
+      val rows = sortByUrlUtf8(rows0)(_._1) // deterministic chunk layout (by url, UTF-8 byte order)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
         // url and warc_ts are the row identity — must be non-null; the
         // payload columns (html/text/lang) are nullable like real crawl data

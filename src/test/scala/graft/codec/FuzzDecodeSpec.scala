@@ -24,8 +24,15 @@ class FuzzDecodeSpec extends AnyFunSuite {
       val fut = ex.submit(new Callable[AnyRef] { def call(): AnyRef = { f; null } })
       try fut.get(10, TimeUnit.SECONDS)
       catch {
-        case _: ExecutionException => () // threw promptly: acceptable
-        case _: TimeoutException   => fail(s"$what hung on corrupt input")
+        case e: ExecutionException =>
+          // a prompt decode exception is in-contract; an OOM/StackOverflow
+          // is exactly the unbounded-allocation failure this spec hunts
+          e.getCause match {
+            case fatal: OutOfMemoryError => fail(s"$what OOMed on corrupt input: $fatal")
+            case fatal: StackOverflowError => fail(s"$what blew the stack on corrupt input")
+            case _ => ()
+          }
+        case _: TimeoutException => fail(s"$what hung on corrupt input")
       }
     } finally ex.shutdownNow()
   }
