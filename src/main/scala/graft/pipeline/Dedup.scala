@@ -89,29 +89,33 @@ object Dedup {
     val keepRows = banded.join(keep, Seq("band", "bucket"))
       .select($"band", $"bucket", lit(0L).as("salt"), $"id")
 
-    // tier 2: oversized buckets -> band-dependent salt split
+    // tier 2: oversized buckets -> band-dependent salt split. Short-circuit
+    // when nothing is oversized (the common, clean-corpus case): the split
+    // machinery's extra aggregations and joins then never enter the plan.
     val over = sizes.filter($"n" > maxBucket)
     val split = over
       .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
       .as[(Long, Long)].head()
     val mb = maxBucket.toLong
-    val splitRows = banded.join(over, Seq("band", "bucket"))
-      .select($"band", $"bucket", $"id", $"n").as[(Int, Long, Long, Long)]
-      .map { case (band, bucket, id, n) =>
-        val s = (n + mb - 1) / mb
-        (band, bucket, subBucketSalt(id, band, s), id)
-      }.toDF("band", "bucket", "salt", "id")
-    val subSizes = autoPersist(
-      splitRows.groupBy($"band", $"bucket", $"salt")
-        .agg(count(lit(1)).as("n"))
-        .as[(Int, Long, Long, Long)]
-    ).toDF("band", "bucket", "salt", "n")
-    val dropped = subSizes.filter($"n" > 2 * mb)
-      .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
-      .as[(Long, Long)].head()
-    val keepSub = subSizes.filter($"n" >= 2 && $"n" <= 2 * mb)
-      .select($"band", $"bucket", $"salt")
-    val splitKept = splitRows.join(keepSub, Seq("band", "bucket", "salt"))
+    val (splitKept, dropped) = if (split._1 == 0L) (None, (0L, 0L)) else {
+      val splitRows = banded.join(over, Seq("band", "bucket"))
+        .select($"band", $"bucket", $"id", $"n").as[(Int, Long, Long, Long)]
+        .map { case (band, bucket, id, n) =>
+          val s = (n + mb - 1) / mb
+          (band, bucket, subBucketSalt(id, band, s), id)
+        }.toDF("band", "bucket", "salt", "id")
+      val subSizes = autoPersist(
+        splitRows.groupBy($"band", $"bucket", $"salt")
+          .agg(count(lit(1)).as("n"))
+          .as[(Int, Long, Long, Long)]
+      ).toDF("band", "bucket", "salt", "n")
+      val d = subSizes.filter($"n" > 2 * mb)
+        .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
+        .as[(Long, Long)].head()
+      val keepSub = subSizes.filter($"n" >= 2 && $"n" <= 2 * mb)
+        .select($"band", $"bucket", $"salt")
+      (Some(splitRows.join(keepSub, Seq("band", "bucket", "salt"))), d)
+    }
 
     val report = DropReport(dropped._1, dropped._2, split._1, split._2)
     if (report.splitBuckets > 0)
@@ -123,7 +127,7 @@ object Dedup {
         s"sub-buckets (${report.droppedRows} member rows); pairs inside them are NOT covered")
     onDrop(report)
 
-    keepRows.union(splitKept)
+    splitKept.fold(keepRows)(keepRows.union(_))
       .groupBy($"band", $"bucket", $"salt")
       .agg(sort_array(collect_list($"id")).as("ids"))
       .select(explode(expr(
