@@ -21,9 +21,31 @@ object SaisBreakdown {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"build total=$sec%.3f (${t.length / 1e6 / sec}%.1f MB/s) sa0=${sa(0)}")
     }
+    // production shape: per-doc inputs (~4-5 KB), phase totals summed
+    val perDoc = docs.map(_.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    perDoc.take(300).foreach(d => runSilent(d)) // warm the small-input paths
+    (1 to 3).foreach { _ =>
+      val acc = new Array[Double](5)
+      var bytes = 0L
+      perDoc.foreach { d => runInto(d, acc); bytes += d.length }
+      val tot = acc.sum
+      println(f"per-doc  scan=${acc(0)}%.3f induce1=${acc(1)}%.3f name=${acc(2)}%.3f" +
+        f" rec=${acc(3)}%.3f induce2=${acc(4)}%.3f total=$tot%.3f (${bytes / 1e6 / tot}%.1f MB/s)")
+    }
   }
 
+  private def runSilent(t: Array[Byte]): Unit = runInto(t, new Array[Double](5))
+
   def run(t: Array[Byte]): Unit = {
+    val acc = new Array[Double](5)
+    val (m, numNames) = runInto(t, acc)
+    val total = acc.sum
+    println(f"m=$m names=$numNames scan=${acc(0)}%.3f induce1=${acc(1)}%.3f name=${acc(2)}%.3f" +
+      f" rec=${acc(3)}%.3f induce2=${acc(4)}%.3f total=$total%.3f (${t.length / 1e6 / total}%.1f MB/s)")
+  }
+
+  /** Phase times added into acc(0..4); returns (m, numNames). */
+  def runInto(t: Array[Byte], acc: Array[Double]): (Int, Int) = {
     val tn = t.length
     val n = tn + 1
     val k = 257
@@ -55,7 +77,7 @@ object SaisBreakdown {
     var sum0 = 0
     var c0 = 0
     while (c0 < k) { bktStart(c0) = sum0; sum0 += bktSize(c0); bktEnd(c0) = sum0; c0 += 1 }
-    val tScan = (System.nanoTime() - t0) / 1e9
+    acc(0) += (System.nanoTime() - t0) / 1e9
 
     def induceB(lms: Array[Int], mm: Int): Unit = {
       java.util.Arrays.fill(sa, -1)
@@ -80,7 +102,7 @@ object SaisBreakdown {
 
     t0 = System.nanoTime()
     induceB(lmsPos, m)
-    val tInduce1 = (System.nanoTime() - t0) / 1e9
+    acc(1) += (System.nanoTime() - t0) / 1e9
 
     t0 = System.nanoTime()
     val sortedLms = new Array[Int](m)
@@ -115,7 +137,7 @@ object SaisBreakdown {
       j += 1
     }
     val numNames = curName + 1
-    val tName = (System.nanoTime() - t0) / 1e9
+    acc(2) += (System.nanoTime() - t0) / 1e9
 
     t0 = System.nanoTime()
     val orderedLms =
@@ -131,15 +153,12 @@ object SaisBreakdown {
         while (j < m) { out(j) = lmsPos(sa1(j)); j += 1 }
         out
       }
-    val tRec = (System.nanoTime() - t0) / 1e9
+    acc(3) += (System.nanoTime() - t0) / 1e9
 
     t0 = System.nanoTime()
     induceB(orderedLms, m)
-    val tInduce2 = (System.nanoTime() - t0) / 1e9
-
-    val total = tScan + tInduce1 + tName + tRec + tInduce2
-    println(f"m=$m names=$numNames scan=$tScan%.3f induce1=$tInduce1%.3f name=$tName%.3f" +
-      f" rec=$tRec%.3f induce2=$tInduce2%.3f total=$total%.3f (${tn / 1e6 / total}%.1f MB/s)" +
-      f" sa0=${sa(0)}")
+    acc(4) += (System.nanoTime() - t0) / 1e9
+    if (sa(0) != tn) throw new IllegalStateException("bad SA")
+    (m, numNames)
   }
 }
