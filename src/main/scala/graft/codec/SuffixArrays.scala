@@ -14,18 +14,21 @@ package graft.codec
   * Returned array is 0-based: `sa(r)` = start position of the suffix with
   * rank r; `sa(0) == n` is always the empty/sentinel suffix. Length n+1.
   *
-  * Implementation note: hot loops are flat (no nested closures capturing
-  * mutable state) so C2 can keep everything in registers; type flags and
-  * buckets are primitive arrays.
+  * Implementation notes: hot loops are flat (no nested closures capturing
+  * mutable state) so C2 can keep everything in registers; the symbol code
+  * and the S/L type flag are PACKED into one value per position
+  * (`sp(i) = code << 1 | isS`), so the induce and naming loops touch ONE
+  * array per random access instead of two (symbol + type) — the measured
+  * hot-loop cost is those random reads (BENCH/BASELINE.md round-3 SA
+  * phase maps).
   */
 object SuffixArrays {
 
   /** SA of `t` plus virtual sentinel (smaller than all bytes) at position n. */
   def build(t: Array[Byte]): Array[Int] = saisBytes(t)
 
-  /** Level-0 SA-IS specialized to byte input: the text is read as bytes
-    * (virtual sentinel at position n), quartering the memory traffic of
-    * the top level versus widening to an int string. Recursion levels use
+  /** Level-0 SA-IS specialized to byte input (packed codes fit a Short —
+    * quarter the memory traffic of an int string). Recursion levels use
     * the generic int implementation.
     */
   def saisBytes(t: Array[Byte]): Array[Int] = {
@@ -36,24 +39,25 @@ object SuffixArrays {
     if (n == 1) { sa(0) = 0; return sa }
     if (n == 2) { sa(0) = 1; sa(1) = 0; return sa }
 
-    @inline def sAt(i: Int): Int = if (i == tn) 0 else (t(i) & 0xFF) + 1
-
-    // fused backward pass: type flags + byte histogram + LMS positions
+    // fused backward pass: packed (code, type) + histogram + LMS positions
     // (stashed reversed in sa's tail — sa is not otherwise used before
     // induceB fills it; saves two extra linear scans)
-    val isS = new Array[Boolean](n)
+    val sp = new Array[Short](n) // (code << 1) | isS
     val bktSize = new Array[Int](k)
-    isS(n - 1) = true
-    bktSize(0) = 1 // sentinel
+    sp(n - 1) = 1 // sentinel: code 0, S-type
+    bktSize(0) = 1
     var m = 0
     var i = n - 2
+    var sj = 0 // code at i+1 (sentinel = 0)
+    var sjS = true // type at i+1
     while (i >= 0) {
-      val si = sAt(i)
-      val sj = sAt(i + 1)
+      val si = (t(i) & 0xFF) + 1
       bktSize(si) += 1
-      val s = si < sj || (si == sj && isS(i + 1))
-      isS(i) = s
-      if (!s && isS(i + 1)) { m += 1; sa(n - m) = i + 1 } // i+1 is LMS
+      val s = si < sj || (si == sj && sjS)
+      sp(i) = ((si << 1) | (if (s) 1 else 0)).toShort
+      if (!s && sjS) { m += 1; sa(n - m) = i + 1 } // i+1 is LMS
+      sj = si
+      sjS = s
       i -= 1
     }
     val bkt = new Array[Int](k)
@@ -74,7 +78,7 @@ object SuffixArrays {
       var j = mm - 1
       while (j >= 0) {
         val p = lms(j)
-        val ch = sAt(p)
+        val ch = sp(p) >> 1
         bkt(ch) -= 1
         sa(bkt(ch)) = p
         j -= 1
@@ -83,10 +87,12 @@ object SuffixArrays {
       var q = 0
       while (q < n) {
         val p = sa(q)
-        if (p > 0 && !isS(p - 1)) {
-          val ch = sAt(p - 1)
-          sa(bkt(ch)) = p - 1
-          bkt(ch) += 1
+        if (p > 0) {
+          val c = sp(p - 1)
+          if ((c & 1) == 0) { // L-type predecessor
+            sa(bkt(c >> 1)) = p - 1
+            bkt(c >> 1) += 1
+          }
         }
         q += 1
       }
@@ -94,10 +100,12 @@ object SuffixArrays {
       q = n - 1
       while (q >= 0) {
         val p = sa(q)
-        if (p > 0 && isS(p - 1)) {
-          val ch = sAt(p - 1)
-          bkt(ch) -= 1
-          sa(bkt(ch)) = p - 1
+        if (p > 0) {
+          val c = sp(p - 1)
+          if ((c & 1) == 1) { // S-type predecessor
+            bkt(c >> 1) -= 1
+            sa(bkt(c >> 1)) = p - 1
+          }
         }
         q -= 1
       }
@@ -106,12 +114,14 @@ object SuffixArrays {
     if (m == 0) { induceB(lmsPos, 0); return sa }
     induceB(lmsPos, m)
 
+    // extract LMS suffixes in current (LMS-substring-sorted) order:
+    // LMS(p) <=> p > 0 && isS(p) && !isS(p-1) <=> sp(p) odd && sp(p-1) even
     val sortedLms = new Array[Int](m)
     var w = 0
     i = 0
     while (i < n) {
       val p = sa(i)
-      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
+      if (p > 0 && (sp(p) & 1) == 1 && (sp(p - 1) & 1) == 0) { sortedLms(w) = p; w += 1 }
       i += 1
     }
 
@@ -122,7 +132,7 @@ object SuffixArrays {
     var j = 1
     while (j < m) {
       val cur = sortedLms(j)
-      // compare LMS substrings on the byte view
+      // compare LMS substrings: packed equality == (symbol, type) equality
       var eq = prev == cur
       if (!eq) {
         var a = prev
@@ -130,11 +140,13 @@ object SuffixArrays {
         var first = true
         var decided = false
         while (!decided) {
-          if (sAt(a) != sAt(b) || isS(a) != isS(b)) { eq = false; decided = true }
-          else if (!first && (((a > 0 && isS(a) && !isS(a - 1))) || ((b > 0 && isS(b) && !isS(b - 1))))) {
-            eq = (a > 0 && isS(a) && !isS(a - 1)) && (b > 0 && isS(b) && !isS(b - 1))
-            decided = true
-          } else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
+          if (sp(a) != sp(b)) { eq = false; decided = true }
+          else if (!first && {
+              val aLms = a > 0 && (sp(a) & 1) == 1 && (sp(a - 1) & 1) == 0
+              val bLms = b > 0 && (sp(b) & 1) == 1 && (sp(b - 1) & 1) == 0
+              if (aLms || bLms) { eq = aLms && bLms; true } else false
+            }) { decided = true }
+          else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
           else { a += 1; b += 1; first = false }
         }
       }
@@ -152,7 +164,7 @@ object SuffixArrays {
         w = 0
         i = 1
         while (i < n) {
-          if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }
+          if ((sp(i) & 1) == 1 && (sp(i - 1) & 1) == 0) { s1(w) = name(i); w += 1 }
           i += 1
         }
         val sa1 = sais(s1, numNames)
@@ -204,30 +216,35 @@ object SuffixArrays {
   }
 
   /** Core SA-IS over an int string whose last element is the unique smallest
-    * symbol (0). Values in [0, k). Returns the full suffix array.
+    * symbol (0). Values in [0, k), k < 2^30 (packed codes carry the type
+    * flag in bit 0). Returns the full suffix array.
     */
   def sais(s: Array[Int], k: Int): Array[Int] = {
     val n = s.length
+    require(k <= (1 << 30), s"alphabet too large for packed codes: $k")
     val sa = new Array[Int](n)
     if (n == 0) return sa
     if (n == 1) { sa(0) = 0; return sa }
     if (n == 2) { sa(0) = 1; sa(1) = 0; return sa } // s(1)==0 is sentinel
 
-    // fused backward pass: type flags + histogram + LMS positions
+    // fused backward pass: packed (code, type) + histogram + LMS positions
     // (stashed reversed in sa's tail, exactly as in the byte level)
-    val isS = new Array[Boolean](n)
+    val sp = new Array[Int](n) // (code << 1) | isS
     val bktSize = new Array[Int](k)
-    isS(n - 1) = true
+    sp(n - 1) = (s(n - 1) << 1) | 1
     bktSize(s(n - 1)) += 1
     var m = 0
     var i = n - 2
+    var sj = s(n - 1)
+    var sjS = true
     while (i >= 0) {
       val si = s(i)
-      val sj = s(i + 1)
       bktSize(si) += 1
-      val st = si < sj || (si == sj && isS(i + 1))
-      isS(i) = st
-      if (!st && isS(i + 1)) { m += 1; sa(n - m) = i + 1 }
+      val st = si < sj || (si == sj && sjS)
+      sp(i) = (si << 1) | (if (st) 1 else 0)
+      if (!st && sjS) { m += 1; sa(n - m) = i + 1 }
+      sj = si
+      sjS = st
       i -= 1
     }
     val bkt = new Array[Int](k)
@@ -242,9 +259,9 @@ object SuffixArrays {
     var c0 = 0
     while (c0 < k) { bktStart(c0) = sum0; sum0 += bktSize(c0); bktEnd(c0) = sum0; c0 += 1 }
 
-    if (m == 0) { induce(s, sa, isS, bktStart, bktEnd, bkt, lmsPos, 0, k, n); return sa }
+    if (m == 0) { induce(sp, sa, bktStart, bktEnd, bkt, lmsPos, 0, k, n); return sa }
 
-    induce(s, sa, isS, bktStart, bktEnd, bkt, lmsPos, m, k, n)
+    induce(sp, sa, bktStart, bktEnd, bkt, lmsPos, m, k, n)
 
     // extract LMS suffixes in current (LMS-substring-sorted) order
     val sortedLms = new Array[Int](m)
@@ -252,7 +269,7 @@ object SuffixArrays {
     i = 0
     while (i < n) {
       val p = sa(i)
-      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
+      if (p > 0 && (sp(p) & 1) == 1 && (sp(p - 1) & 1) == 0) { sortedLms(w) = p; w += 1 }
       i += 1
     }
 
@@ -264,7 +281,7 @@ object SuffixArrays {
     var j = 1
     while (j < m) {
       val cur = sortedLms(j)
-      if (!lmsSubstringEq(s, isS, prev, cur, n)) curName += 1
+      if (!lmsSubstringEq(sp, prev, cur, n)) curName += 1
       name(cur) = curName
       prev = cur
       j += 1
@@ -280,7 +297,7 @@ object SuffixArrays {
         w = 0
         i = 1
         while (i < n) {
-          if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }
+          if ((sp(i) & 1) == 1 && (sp(i - 1) & 1) == 0) { s1(w) = name(i); w += 1 }
           i += 1
         }
         val sa1 = sais(s1, numNames)
@@ -290,17 +307,17 @@ object SuffixArrays {
         out
       }
 
-    induce(s, sa, isS, bktStart, bktEnd, bkt, orderedLms, m, k, n)
+    induce(sp, sa, bktStart, bktEnd, bkt, orderedLms, m, k, n)
     sa
   }
 
   /** Seed SA with the given LMS positions (inserted from bucket ends
-    * backwards), then induce L-type then S-type suffixes.
+    * backwards), then induce L-type then S-type suffixes. `sp` carries
+    * (code << 1 | type), so each hot-loop step is ONE random read.
     */
   private def induce(
-      s: Array[Int],
+      sp: Array[Int],
       sa: Array[Int],
-      isS: Array[Boolean],
       bktStart: Array[Int],
       bktEnd: Array[Int],
       bkt: Array[Int],
@@ -316,7 +333,7 @@ object SuffixArrays {
     var j = m - 1
     while (j >= 0) {
       val p = lms(j)
-      val ch = s(p)
+      val ch = sp(p) >> 1
       bkt(ch) -= 1
       sa(bkt(ch)) = p
       j -= 1
@@ -327,10 +344,12 @@ object SuffixArrays {
     var q = 0
     while (q < n) {
       val p = sa(q)
-      if (p > 0 && !isS(p - 1)) {
-        val ch = s(p - 1)
-        sa(bkt(ch)) = p - 1
-        bkt(ch) += 1
+      if (p > 0) {
+        val c = sp(p - 1)
+        if ((c & 1) == 0) {
+          sa(bkt(c >> 1)) = p - 1
+          bkt(c >> 1) += 1
+        }
       }
       q += 1
     }
@@ -340,21 +359,22 @@ object SuffixArrays {
     q = n - 1
     while (q >= 0) {
       val p = sa(q)
-      if (p > 0 && isS(p - 1)) {
-        val ch = s(p - 1)
-        bkt(ch) -= 1
-        sa(bkt(ch)) = p - 1
+      if (p > 0) {
+        val c = sp(p - 1)
+        if ((c & 1) == 1) {
+          bkt(c >> 1) -= 1
+          sa(bkt(c >> 1)) = p - 1
+        }
       }
       q -= 1
     }
   }
 
   /** Compare two LMS substrings (from start to next LMS position inclusive)
-    * for exact equality of symbols and types.
+    * for exact equality of symbols and types — one packed compare per step.
     */
   private def lmsSubstringEq(
-      s: Array[Int],
-      isS: Array[Boolean],
+      sp: Array[Int],
       a0: Int,
       b0: Int,
       n: Int
@@ -364,10 +384,10 @@ object SuffixArrays {
     var b = b0
     var first = true
     while (true) {
-      if (s(a) != s(b) || isS(a) != isS(b)) return false
+      if (sp(a) != sp(b)) return false
       if (!first) {
-        val aLms = a > 0 && isS(a) && !isS(a - 1)
-        val bLms = b > 0 && isS(b) && !isS(b - 1)
+        val aLms = a > 0 && (sp(a) & 1) == 1 && (sp(a - 1) & 1) == 0
+        val bLms = b > 0 && (sp(b) & 1) == 1 && (sp(b - 1) & 1) == 0
         if (aLms || bLms) return aLms && bLms
       }
       if (a == n - 1 || b == n - 1) return a == b // sentinel suffix is unique
