@@ -217,8 +217,9 @@ object ColumnCodec {
     // exact-size precheck: the encode pass only runs when the wrap wins
     val freq = Huffman.histogram(payload)
     val lens = Huffman.codeLengths(freq)
-    if (Huffman.compressedSize(freq, lens, payload.length) + 1 >= payload.length) return payload
-    val huf = Huffman.compressWith(payload, lens)
+    val hSize = Huffman.compressedSize(freq, lens, payload.length)
+    if (hSize + 1 >= payload.length) return payload
+    val huf = Huffman.compressWithSized(payload, lens, hSize.toInt)
     val out = new Array[Byte](huf.length + 1)
     out(0) = HufWrap.toByte
     System.arraycopy(huf, 0, out, 1, huf.length)

@@ -125,14 +125,28 @@ object Huffman {
     * data's own histogram — a foreign table would corrupt).
     */
   def compressWith(data: Array[Byte], lens: Array[Int]): Array[Byte] = {
-    val codes = canonicalCodes(lens)
+    val freq = histogram(data)
+    compressWithSized(data, lens, compressedSize(freq, lens, data.length).toInt)
+  }
 
-    val buf = new Bytes.Buf(data.length / 2 + 140)
-    buf.writeVarInt(data.length)
+  /** Same encoding, but the caller supplies the EXACT output size (from
+    * [[compressedSize]], which every wrap-if-smaller call site computes
+    * anyway) — one exact allocation, direct array stores, and the bit
+    * reservoir drains in a branch every few symbols instead of a
+    * capacity-checked `writeByte` per output byte.
+    */
+  def compressWithSized(data: Array[Byte], lens: Array[Int], outSize: Int): Array[Byte] = {
+    val codes = canonicalCodes(lens)
+    val out = new Array[Byte](outSize)
+    var w = 0
+    var v = data.length.toLong & 0xFFFFFFFFL
+    while ((v & ~0x7FL) != 0L) { out(w) = ((v & 0x7F) | 0x80).toByte; w += 1; v >>>= 7 }
+    out(w) = v.toByte; w += 1
     // 256 lengths, 4 bits each (0..15)
     var i = 0
     while (i < 256) {
-      buf.writeByte((lens(i) & 0xF) | ((lens(i + 1) & 0xF) << 4))
+      out(w) = ((lens(i) & 0xF) | ((lens(i + 1) & 0xF) << 4)).toByte
+      w += 1
       i += 2
     }
     var acc = 0L
@@ -142,14 +156,16 @@ object Huffman {
       val s = data(i) & 0xFF
       acc = (acc << lens(s)) | codes(s)
       nbits += lens(s)
-      while (nbits >= 8) {
-        buf.writeByte(((acc >>> (nbits - 8)) & 0xFF).toInt)
-        nbits -= 8
+      // MaxLen = 15, so nbits <= 54 here and the shift never drops live bits
+      if (nbits >= 40) {
+        while (nbits >= 8) { nbits -= 8; out(w) = (acc >>> nbits).toByte; w += 1 }
       }
       i += 1
     }
-    if (nbits > 0) buf.writeByte(((acc << (8 - nbits)) & 0xFF).toInt)
-    buf.toArray
+    while (nbits >= 8) { nbits -= 8; out(w) = (acc >>> nbits).toByte; w += 1 }
+    if (nbits > 0) { out(w) = ((acc << (8 - nbits)) & 0xFF).toByte; w += 1 }
+    require(w == outSize, s"huffman encode wrote $w bytes, expected $outSize")
+    out
   }
 
   /** Decode only the first symbol (cheap codec-id peek for codecName). */

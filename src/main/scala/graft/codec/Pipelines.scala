@@ -37,6 +37,110 @@ object Pipelines {
   def bwtMtfRleEncode(text: Array[Byte]): Array[Byte] =
     mtfRleSerialize(MtfCodec.encode(BwtCodec.encode(text)))
 
+  /** Fused MTF + run-length varint serialization straight off the BWT —
+    * byte-identical to `mtfRleSerialize(MtfCodec.encode(b))` (pinned by a
+    * property test) without materializing the intermediate `Array[Int]`
+    * index stream or scanning it a second time for runs. Consecutive equal
+    * BWT bytes short-circuit the recency-list lookup entirely (they emit
+    * MTF index 0 by definition), which is the dominant case on BWT output.
+    */
+  private[graft] def mtfRleEncodeFused(b: Bwt): Array[Byte] = {
+    val total = b.conceptualLength
+    val data = b.data
+    val n = data.length
+    val buf = new Bytes.Buf(total / 4 + 24)
+    if (total == 0) { buf.writeVarInt(0); buf.writeVarInt(0); return buf.toArray }
+
+    val present = new Array[Boolean](256)
+    var i = 0
+    while (i < n) { present(data(i) & 0xFF) = true; i += 1 }
+    var sigmaReal = 0
+    i = 0
+    while (i < 256) { if (present(i)) sigmaReal += 1; i += 1 }
+    val alphabet = new Array[Byte](sigmaReal)
+    var w = 0
+    i = 0
+    while (i < 256) { if (present(i)) { alphabet(w) = i.toByte; w += 1 }; i += 1 }
+    buf.writeVarInt(total)
+    buf.writeVarInt(sigmaReal)
+    buf.writeBytes(alphabet)
+
+    // recency list of symbol codes; -1 = sentinel, front-first
+    val list = new Array[Int](sigmaReal + 1)
+    list(0) = -1
+    i = 0
+    while (i < sigmaReal) { list(i + 1) = alphabet(i) & 0xFF; i += 1 }
+
+    var runVal = -1 // no MTF index is negative, so -1 = "no open run"
+    var runLen = 0
+    @inline def emit(j: Int, count: Int): Unit = {
+      if (j == runVal) runLen += count
+      else {
+        if (runLen > 0) { buf.writeVarInt(runLen); buf.writeVarInt(runVal) }
+        runVal = j
+        runLen = count
+      }
+    }
+    @inline def mtfIndexOf(sym: Int): Int = {
+      var j = 0
+      while (list(j) != sym) j += 1
+      if (j > 0) {
+        var k = j
+        while (k > 0) { list(k) = list(k - 1); k -= 1 }
+        list(0) = sym
+      }
+      j
+    }
+    def segment(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val sym = data(i) & 0xFF
+        val j = mtfIndexOf(sym)
+        var end = i + 1
+        while (end < until && (data(end) & 0xFF) == sym) end += 1
+        emit(j, 1)
+        if (end - i > 1) emit(0, end - i - 1)
+        i = end
+      }
+    }
+    val sent = b.sentinelPos
+    segment(0, sent)
+    emit(mtfIndexOf(-1), 1)
+    segment(sent, n)
+    if (runLen > 0) { buf.writeVarInt(runLen); buf.writeVarInt(runVal) }
+    buf.toArray
+  }
+
+  /** Exact byte size `RleCodec.serialize(RleCodec.encode(b))` would
+    * produce, in one allocation-free scan (pinned by a property test).
+    * BWT+RLE rarely beats BWT+MTF+RLE on web text, so [[textEncode]] only
+    * materializes that candidate when this cost says it wins.
+    */
+  private[graft] def rleSerializedCost(b: Bwt): Int = {
+    if (b.sentinelPos < 0) return 0
+    val data = b.data
+    @inline def varintSize(x: Int): Int =
+      if (x < (1 << 7)) 1
+      else if (x < (1 << 14)) 2
+      else if (x < (1 << 21)) 3
+      else if (x < (1 << 28)) 4
+      else 5
+    var cost = 1 // sentinel run = single 0-count marker byte
+    def segment(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val s = data(i)
+        var j = i + 1
+        while (j < until && data(j) == s) j += 1
+        cost += varintSize(j - i) + 1
+        i = j
+      }
+    }
+    segment(0, b.sentinelPos)
+    segment(b.sentinelPos, data.length)
+    cost
+  }
+
   private def mtfRleSerialize(m: MtfChunk): Array[Byte] = {
     val buf = new Bytes.Buf(m.indices.length / 4 + m.alphabet.length + 16)
     buf.writeVarInt(m.indices.length)
@@ -127,18 +231,29 @@ object Pipelines {
       return textEncodeFast(value)
     }
     val bwt = BwtCodec.encode(value) // one SA build, all candidates reuse it
-    val a = mtfRleSerialize(MtfCodec.encode(bwt))
-    val b = RleCodec.serialize(RleCodec.encode(bwt))
+    val a = mtfRleEncodeFused(bwt)
+    val bCost = rleSerializedCost(bwt)
     // entropy stage over the MTF+RLE stream: exact-size precheck so the
     // encode pass only runs when tag 3 would actually win
     val freq = Huffman.histogram(a)
     val lens = Huffman.codeLengths(freq)
     val hSize = Huffman.compressedSize(freq, lens, a.length)
-    val others = math.min(math.min(a.length, b.length), value.length)
-    val candidates =
-      if (hSize < others) Seq(0 -> a, 1 -> b, 2 -> value, 3 -> Huffman.compressWith(a, lens))
-      else Seq(0 -> a, 1 -> b, 2 -> value)
-    val (bestTag, best) = candidates.minBy { case (tag, body) => (body.length, tag) }
+    // same winner as minBy((length, tag)) over {0->a, 1->rle, 2->raw,
+    // 3->huffman-if-smaller}: strict < keeps the lower tag on ties
+    var bestTag = 0
+    var bestLen = a.length.toLong
+    if (bCost < bestLen) { bestTag = 1; bestLen = bCost }
+    if (value.length < bestLen) { bestTag = 2; bestLen = value.length }
+    if (hSize < bestLen) { bestTag = 3; bestLen = hSize }
+    val best: Array[Byte] = bestTag match {
+      case 0 => a
+      case 1 =>
+        val rle = RleCodec.serialize(RleCodec.encode(bwt))
+        require(rle.length == bCost, s"rle cost ${bCost} != serialized ${rle.length}")
+        rle
+      case 2 => value
+      case _ => Huffman.compressWithSized(a, lens, hSize.toInt)
+    }
     val out = new Array[Byte](best.length + 1)
     out(0) = bestTag.toByte
     System.arraycopy(best, 0, out, 1, best.length)
@@ -153,9 +268,9 @@ object Pipelines {
   def textEncodeFast(value: Array[Byte]): Array[Byte] = {
     val freq = Huffman.histogram(value)
     val lens = Huffman.codeLengths(freq)
+    val hSize = Huffman.compressedSize(freq, lens, value.length)
     val (tag, body) =
-      if (Huffman.compressedSize(freq, lens, value.length) < value.length)
-        (4, Huffman.compressWith(value, lens))
+      if (hSize < value.length) (4, Huffman.compressWithSized(value, lens, hSize.toInt))
       else (2, value)
     val out = new Array[Byte](body.length + 1)
     out(0) = tag.toByte

@@ -248,10 +248,11 @@ object EncodeJob {
       // entropy-coded, so the wrap rarely wins — don't pay its encode pass
       val freq = graft.codec.Huffman.histogram(withNulls)
       val lens = graft.codec.Huffman.codeLengths(freq)
-      if (graft.codec.Huffman.compressedSize(freq, lens, withNulls.length) + 1 >= withNulls.length)
+      val hSize = graft.codec.Huffman.compressedSize(freq, lens, withNulls.length)
+      if (hSize + 1 >= withNulls.length)
         withNulls
       else {
-        val huf = graft.codec.Huffman.compressWith(withNulls, lens)
+        val huf = graft.codec.Huffman.compressWithSized(withNulls, lens, hSize.toInt)
         val out = new Array[Byte](huf.length + 1)
         out(0) = ColumnCodec.HufWrap.toByte
         System.arraycopy(huf, 0, out, 1, huf.length)

@@ -51,6 +51,44 @@ class HuffmanSpec extends AnyFunSuite {
     assert(enc.length <= huf.length + 1)
   }
 
+  test("compressWithSized is byte-identical to the byte-at-a-time bit writer model") {
+    // model = the pre-round-3 writeByte-per-byte encoder
+    def model(data: Array[Byte], lens: Array[Int]): Array[Byte] = {
+      val codes = Huffman.canonicalCodes(lens)
+      val buf = new Bytes.Buf(data.length / 2 + 140)
+      buf.writeVarInt(data.length)
+      var i = 0
+      while (i < 256) { buf.writeByte((lens(i) & 0xF) | ((lens(i + 1) & 0xF) << 4)); i += 2 }
+      var acc = 0L
+      var nbits = 0
+      i = 0
+      while (i < data.length) {
+        val s = data(i) & 0xFF
+        acc = (acc << lens(s)) | codes(s)
+        nbits += lens(s)
+        while (nbits >= 8) { buf.writeByte(((acc >>> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+        i += 1
+      }
+      if (nbits > 0) buf.writeByte(((acc << (8 - nbits)) & 0xFF).toInt)
+      buf.toArray
+    }
+    val rnd = new scala.util.Random(77)
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array[Byte](42),
+      Array.fill(777)(3.toByte),
+      Array.tabulate(256)(_.toByte)
+    ) ++ (1 to 40).map(_ => Array.fill(rnd.nextInt(4000) + 1)(rnd.nextInt(rnd.nextInt(255) + 1).toByte))
+    cases.foreach { data =>
+      val freq = Huffman.histogram(data)
+      val lens = Huffman.codeLengths(freq)
+      val sized = Huffman.compressWithSized(data, lens,
+        Huffman.compressedSize(freq, lens, data.length).toInt)
+      assert(sized.sameElements(model(data, lens)), s"len ${data.length}")
+      assert(Huffman.decompress(sized).sameElements(data), s"roundtrip len ${data.length}")
+    }
+  }
+
   test("decompressFirst peeks the inner codec id of wrapped payloads") {
     val vals = Array.fill(300)("alpha beta gamma".getBytes(UTF_8))
     val enc = ColumnCodec.encodeBinary(vals)

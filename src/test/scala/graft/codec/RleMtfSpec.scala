@@ -191,4 +191,40 @@ class RleMtfSpec extends AnyFunSuite {
     assert(ReferenceMtf.parse(Nil, Seq(Some(97))) == Vector.empty)
     assert(ReferenceMtf.parse(Seq(0), Nil) == Vector.empty)
   }
+
+  // --------------------------------------------- fused textEncode kernels
+
+  private def fusedCases: Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(101)
+    Seq(
+      Array.emptyByteArray,
+      bytes("a"),
+      bytes("ba"),
+      bytes("aaaaaaaa"),
+      bytes("abababab"),
+      bytes("mississippi"),
+      bytes("héllo wörld — ünïcode ∑ text"),
+      Array.fill(300)(7.toByte),
+      Array.tabulate(256)(_.toByte)
+    ) ++
+      (1 to 60).map(_ => Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(5).toByte)) ++
+      (1 to 20).map(_ => Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(256).toByte)) ++
+      (1 to 10).map(i => bytes(graft.spark.PagesGen.page(9L, i.toLong, 50, hostSkew = false).text))
+  }
+
+  test("mtfRleEncodeFused is byte-identical to the unfused MTF->RLE serialization") {
+    fusedCases.foreach { t =>
+      val fused = Pipelines.mtfRleEncodeFused(BwtCodec.encode(t))
+      val unfused = Pipelines.bwtMtfRleEncode(t)
+      assert(fused.sameElements(unfused), s"len=${t.length}")
+    }
+  }
+
+  test("rleSerializedCost equals the materialized RLE candidate's exact size") {
+    fusedCases.foreach { t =>
+      val b = BwtCodec.encode(t)
+      assert(Pipelines.rleSerializedCost(b) == RleCodec.serialize(RleCodec.encode(b)).length,
+        s"len=${t.length}")
+    }
+  }
 }
