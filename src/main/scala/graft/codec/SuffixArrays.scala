@@ -125,6 +125,16 @@ object SuffixArrays {
       i += 1
     }
 
+    // LMS-substring length by start position (to the NEXT LMS, inclusive).
+    // lmsPos is ascending text order and the sentinel n-1 is always the
+    // last LMS (nothing sorts below code 0), so lengths come from adjacent
+    // LMS positions — naming then compares length first and runs a tight
+    // two-load loop, no per-step LMS-boundary detection.
+    val lenByPos = new Array[Int](n)
+    i = 0
+    while (i < m - 1) { lenByPos(lmsPos(i)) = lmsPos(i + 1) - lmsPos(i) + 1; i += 1 }
+    lenByPos(n - 1) = 1
+
     val name = new Array[Int](n)
     var curName = 0
     name(sortedLms(0)) = 0
@@ -132,23 +142,14 @@ object SuffixArrays {
     var j = 1
     while (j < m) {
       val cur = sortedLms(j)
-      // compare LMS substrings: packed equality == (symbol, type) equality
-      var eq = prev == cur
-      if (!eq) {
-        var a = prev
-        var b = cur
-        var first = true
-        var decided = false
-        while (!decided) {
-          if (sp(a) != sp(b)) { eq = false; decided = true }
-          else if (!first && {
-              val aLms = a > 0 && (sp(a) & 1) == 1 && (sp(a - 1) & 1) == 0
-              val bLms = b > 0 && (sp(b) & 1) == 1 && (sp(b - 1) & 1) == 0
-              if (aLms || bLms) { eq = aLms && bLms; true } else false
-            }) { decided = true }
-          else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
-          else { a += 1; b += 1; first = false }
-        }
+      // equal iff same length and same packed (symbol, type) codes; the
+      // packed codes make type mismatches plain value mismatches
+      var eq = false
+      val lc = lenByPos(cur)
+      if (lenByPos(prev) == lc) {
+        var x = 0
+        while (x < lc && sp(prev + x) == sp(cur + x)) x += 1
+        eq = x == lc
       }
       if (!eq) curName += 1
       name(cur) = curName
@@ -273,7 +274,12 @@ object SuffixArrays {
       i += 1
     }
 
-    // name LMS substrings
+    // name LMS substrings — same length-first comparison as the byte level
+    val lenByPos = new Array[Int](n)
+    i = 0
+    while (i < m - 1) { lenByPos(lmsPos(i)) = lmsPos(i + 1) - lmsPos(i) + 1; i += 1 }
+    lenByPos(n - 1) = 1
+
     val name = new Array[Int](n) // name by start position (sparse)
     var curName = 0
     name(sortedLms(0)) = 0
@@ -281,7 +287,14 @@ object SuffixArrays {
     var j = 1
     while (j < m) {
       val cur = sortedLms(j)
-      if (!lmsSubstringEq(sp, prev, cur, n)) curName += 1
+      var eq = false
+      val lc = lenByPos(cur)
+      if (lenByPos(prev) == lc) {
+        var x = 0
+        while (x < lc && sp(prev + x) == sp(cur + x)) x += 1
+        eq = x == lc
+      }
+      if (!eq) curName += 1
       name(cur) = curName
       prev = cur
       j += 1
@@ -370,30 +383,4 @@ object SuffixArrays {
     }
   }
 
-  /** Compare two LMS substrings (from start to next LMS position inclusive)
-    * for exact equality of symbols and types — one packed compare per step.
-    */
-  private def lmsSubstringEq(
-      sp: Array[Int],
-      a0: Int,
-      b0: Int,
-      n: Int
-  ): Boolean = {
-    if (a0 == b0) return true
-    var a = a0
-    var b = b0
-    var first = true
-    while (true) {
-      if (sp(a) != sp(b)) return false
-      if (!first) {
-        val aLms = a > 0 && (sp(a) & 1) == 1 && (sp(a - 1) & 1) == 0
-        val bLms = b > 0 && (sp(b) & 1) == 1 && (sp(b - 1) & 1) == 0
-        if (aLms || bLms) return aLms && bLms
-      }
-      if (a == n - 1 || b == n - 1) return a == b // sentinel suffix is unique
-      a += 1; b += 1
-      first = false
-    }
-    false
-  }
 }
