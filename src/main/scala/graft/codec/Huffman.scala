@@ -230,7 +230,9 @@ object Huffman {
       oi += 1
     }
 
-    // bit reservoir, MSB-aligned in the low bits of acc
+    // bit reservoir, MSB-aligned in the low bits of acc; refilled lazily in
+    // 48-bit gulps (a code is at most 15 bits, so 16 banked bits always
+    // cover the next symbol) instead of a checked byte-loop per symbol
     var acc = 0L
     var nbits = 0
     var w = 0
@@ -238,10 +240,21 @@ object Huffman {
     var pos = rd.pos
     val end = arr.length
     while (w < n) {
-      while (nbits <= 56 && pos < end) {
-        acc = (acc << 8) | (arr(pos) & 0xFFL)
-        pos += 1
-        nbits += 8
+      if (nbits < 16) {
+        if (pos + 6 <= end) {
+          acc = (acc << 48) |
+            ((arr(pos) & 0xFFL) << 40) | ((arr(pos + 1) & 0xFFL) << 32) |
+            ((arr(pos + 2) & 0xFFL) << 24) | ((arr(pos + 3) & 0xFFL) << 16) |
+            ((arr(pos + 4) & 0xFFL) << 8) | (arr(pos + 5) & 0xFFL)
+          pos += 6
+          nbits += 48
+        } else {
+          while (nbits <= 56 && pos < end) {
+            acc = (acc << 8) | (arr(pos) & 0xFFL)
+            pos += 1
+            nbits += 8
+          }
+        }
       }
       val window = if (nbits >= 8) ((acc >>> (nbits - 8)) & 0xFF).toInt
         else ((acc << (8 - nbits)) & 0xFF).toInt

@@ -159,7 +159,16 @@ object Pipelines {
     buf.toArray
   }
 
-  def bwtMtfRleDecode(payload: Array[Byte]): Array[Byte] = {
+  def bwtMtfRleDecode(payload: Array[Byte]): Array[Byte] =
+    BwtCodec.decode(mtfRleDecodeFusedToBwt(payload))
+
+  /** Fused varint parse + MTF decode straight to the BWT — same result as
+    * parsing the (runLen, index) stream into an `Array[Int]` and running
+    * `MtfCodec.decode` (pinned by a property test), without materializing
+    * either. Runs of index 0 — the bulk of the stream on BWT input — fill
+    * the output with the current front symbol, no recency-list work.
+    */
+  private[graft] def mtfRleDecodeFusedToBwt(payload: Array[Byte]): Bwt = {
     val rd = new Bytes.Reader(payload)
     val totalLen = rd.readVarInt()
     // BWT only ever runs under MaxBwtDocBytes, so a larger declared stream
@@ -169,15 +178,43 @@ object Pipelines {
     val alphaLen = rd.readVarInt()
     require(alphaLen >= 0 && alphaLen <= 257, s"corrupt payload: alphabet size $alphaLen")
     val alphabet = rd.readBytes(alphaLen)
-    val indices = new Array[Int](totalLen)
+    if (totalLen == 0) return Bwt(Array.emptyByteArray, -1)
+
+    val list = new Array[Int](alphaLen + 1)
+    list(0) = -1
+    var i = 0
+    while (i < alphaLen) { list(i + 1) = alphabet(i) & 0xFF; i += 1 }
+
+    val data = new Array[Byte](totalLen - 1)
+    var sentinelPos = -1
     var w = 0
-    while (w < totalLen) {
+    var produced = 0
+    while (produced < totalLen) {
       val run = rd.readVarInt()
       val v = rd.readVarInt()
-      var c = 0
-      while (c < run) { indices(w) = v; w += 1; c += 1 }
+      require(run >= 1 && run <= totalLen - produced,
+        s"corrupt mtf+rle payload: run $run with ${totalLen - produced} left")
+      if (v == 0 && list(0) >= 0) {
+        // front symbol repeated `run` times — no list movement at all
+        val sym = list(0).toByte
+        java.util.Arrays.fill(data, w, w + run, sym)
+        w += run
+        produced += run
+      } else {
+        var c = 0
+        while (c < run) {
+          var j = v
+          val sym = list(j) // out-of-range index throws, as the unfused did
+          while (j > 0) { list(j) = list(j - 1); j -= 1 }
+          list(0) = sym
+          if (sym < 0) sentinelPos = produced
+          else { data(w) = sym.toByte; w += 1 }
+          produced += 1
+          c += 1
+        }
+      }
     }
-    BwtCodec.decode(MtfCodec.decode(MtfChunk(indices, alphabet)))
+    Bwt(data, sentinelPos)
   }
 
   /** Direct RLE over raw bytes, no BWT, no sentinel — the reference's

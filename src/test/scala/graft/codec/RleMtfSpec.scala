@@ -220,6 +220,32 @@ class RleMtfSpec extends AnyFunSuite {
     }
   }
 
+  test("mtfRleDecodeFusedToBwt matches the unfused parse + MTF decode") {
+    // model = parse the (runLen, index) varint stream into indices, then
+    // MtfCodec.decode — the pre-fusion decode path
+    def model(payload: Array[Byte]): Bwt = {
+      val rd = new Bytes.Reader(payload)
+      val totalLen = rd.readVarInt()
+      val alphaLen = rd.readVarInt()
+      val alphabet = rd.readBytes(alphaLen)
+      val indices = new Array[Int](totalLen)
+      var w = 0
+      while (w < totalLen) {
+        val run = rd.readVarInt()
+        val v = rd.readVarInt()
+        var c = 0
+        while (c < run) { indices(w) = v; w += 1; c += 1 }
+      }
+      MtfCodec.decode(MtfChunk(indices, alphabet))
+    }
+    fusedCases.foreach { t =>
+      val payload = Pipelines.bwtMtfRleEncode(t)
+      val fused = Pipelines.mtfRleDecodeFusedToBwt(payload)
+      assert(fused == model(payload), s"len=${t.length}")
+      assert(Pipelines.bwtMtfRleDecode(payload).sameElements(t), s"roundtrip len=${t.length}")
+    }
+  }
+
   test("rleSerializedCost equals the materialized RLE candidate's exact size") {
     fusedCases.foreach { t =>
       val b = BwtCodec.encode(t)
