@@ -161,13 +161,11 @@ object SuffixArrays {
     val orderedLms =
       if (numNames == m) sortedLms
       else {
+        // lmsPos is already the LMS positions in ascending text order —
+        // gather names from it directly instead of re-scanning all of sp
         val s1 = new Array[Int](m)
         w = 0
-        i = 1
-        while (i < n) {
-          if ((sp(i) & 1) == 1 && (sp(i - 1) & 1) == 0) { s1(w) = name(i); w += 1 }
-          i += 1
-        }
+        while (w < m) { s1(w) = name(lmsPos(w)); w += 1 }
         val sa1 = sais(s1, numNames)
         val out = new Array[Int](m)
         j = 0
@@ -306,13 +304,11 @@ object SuffixArrays {
         sortedLms
       } else {
         // recurse on the reduced string of LMS-substring names
+        // lmsPos is already the LMS positions in ascending text order —
+        // gather names from it directly instead of re-scanning all of sp
         val s1 = new Array[Int](m)
         w = 0
-        i = 1
-        while (i < n) {
-          if ((sp(i) & 1) == 1 && (sp(i - 1) & 1) == 0) { s1(w) = name(i); w += 1 }
-          i += 1
-        }
+        while (w < m) { s1(w) = name(lmsPos(w)); w += 1 }
         val sa1 = sais(s1, numNames)
         val out = new Array[Int](m)
         j = 0
