@@ -44,28 +44,34 @@ object SaisBreakdown {
       f" rec=${acc(3)}%.3f induce2=${acc(4)}%.3f total=$total%.3f (${t.length / 1e6 / total}%.1f MB/s)")
   }
 
-  /** Phase times added into acc(0..4); returns (m, numNames). */
+  /** Phase times added into acc(0..4); returns (m, numNames).
+    * Mirror of the CURRENT production saisBytes (packed Short codes, fused
+    * backward scan, length-first naming, name gather from lmsPos) — keep in
+    * sync with SuffixArrays.scala when the production kernel changes.
+    */
   def runInto(t: Array[Byte], acc: Array[Double]): (Int, Int) = {
     val tn = t.length
     val n = tn + 1
     val k = 257
     val sa = new Array[Int](n)
-    @inline def sAt(i: Int): Int = if (i == tn) 0 else (t(i) & 0xFF) + 1
 
     var t0 = System.nanoTime()
-    val isS = new Array[Boolean](n)
+    val sp = new Array[Short](n)
     val bktSize = new Array[Int](k)
-    isS(n - 1) = true
+    sp(n - 1) = 1
     bktSize(0) = 1
     var m = 0
     var i = n - 2
+    var sj = 0
+    var sjS = true
     while (i >= 0) {
-      val si = sAt(i)
-      val sj = sAt(i + 1)
+      val si = (t(i) & 0xFF) + 1
       bktSize(si) += 1
-      val s = si < sj || (si == sj && isS(i + 1))
-      isS(i) = s
-      if (!s && isS(i + 1)) { m += 1; sa(n - m) = i + 1 }
+      val s = si < sj || (si == sj && sjS)
+      sp(i) = ((si << 1) | (if (s) 1 else 0)).toShort
+      if (!s && sjS) { m += 1; sa(n - m) = i + 1 }
+      sj = si
+      sjS = s
       i -= 1
     }
     val bkt = new Array[Int](k)
@@ -83,19 +89,31 @@ object SaisBreakdown {
       java.util.Arrays.fill(sa, -1)
       System.arraycopy(bktEnd, 0, bkt, 0, k)
       var j = mm - 1
-      while (j >= 0) { val p = lms(j); val ch = sAt(p); bkt(ch) -= 1; sa(bkt(ch)) = p; j -= 1 }
+      while (j >= 0) {
+        val p = lms(j)
+        val ch = sp(p) >> 1
+        bkt(ch) -= 1
+        sa(bkt(ch)) = p
+        j -= 1
+      }
       System.arraycopy(bktStart, 0, bkt, 0, k)
       var q = 0
       while (q < n) {
         val p = sa(q)
-        if (p > 0 && !isS(p - 1)) { val ch = sAt(p - 1); sa(bkt(ch)) = p - 1; bkt(ch) += 1 }
+        if (p > 0) {
+          val c = sp(p - 1)
+          if ((c & 1) == 0) { sa(bkt(c >> 1)) = p - 1; bkt(c >> 1) += 1 }
+        }
         q += 1
       }
       System.arraycopy(bktEnd, 0, bkt, 0, k)
       q = n - 1
       while (q >= 0) {
         val p = sa(q)
-        if (p > 0 && isS(p - 1)) { val ch = sAt(p - 1); bkt(ch) -= 1; sa(bkt(ch)) = p - 1 }
+        if (p > 0) {
+          val c = sp(p - 1)
+          if ((c & 1) == 1) { bkt(c >> 1) -= 1; sa(bkt(c >> 1)) = p - 1 }
+        }
         q -= 1
       }
     }
@@ -110,9 +128,13 @@ object SaisBreakdown {
     i = 0
     while (i < n) {
       val p = sa(i)
-      if (p > 0 && isS(p) && !isS(p - 1)) { sortedLms(w) = p; w += 1 }
+      if (p > 0 && (sp(p) & 1) == 1 && (sp(p - 1) & 1) == 0) { sortedLms(w) = p; w += 1 }
       i += 1
     }
+    val lenByPos = new Array[Int](n)
+    i = 0
+    while (i < m - 1) { lenByPos(lmsPos(i)) = lmsPos(i + 1) - lmsPos(i) + 1; i += 1 }
+    lenByPos(n - 1) = 1
     val name = new Array[Int](n)
     var curName = 0
     name(sortedLms(0)) = 0
@@ -120,16 +142,12 @@ object SaisBreakdown {
     var j = 1
     while (j < m) {
       val cur = sortedLms(j)
-      var eq = prev == cur
-      if (!eq) {
-        var a = prev; var b = cur; var first = true; var decided = false
-        while (!decided) {
-          if (sAt(a) != sAt(b) || isS(a) != isS(b)) { eq = false; decided = true }
-          else if (!first && (((a > 0 && isS(a) && !isS(a - 1))) || ((b > 0 && isS(b) && !isS(b - 1))))) {
-            eq = (a > 0 && isS(a) && !isS(a - 1)) && (b > 0 && isS(b) && !isS(b - 1)); decided = true
-          } else if (a == n - 1 || b == n - 1) { eq = a == b; decided = true }
-          else { a += 1; b += 1; first = false }
-        }
+      var eq = false
+      val lc = lenByPos(cur)
+      if (lenByPos(prev) == lc) {
+        var x = 0
+        while (x < lc && sp(prev + x) == sp(cur + x)) x += 1
+        eq = x == lc
       }
       if (!eq) curName += 1
       name(cur) = curName
@@ -145,8 +163,7 @@ object SaisBreakdown {
       else {
         val s1 = new Array[Int](m)
         w = 0
-        i = 1
-        while (i < n) { if (isS(i) && !isS(i - 1)) { s1(w) = name(i); w += 1 }; i += 1 }
+        while (w < m) { s1(w) = name(lmsPos(w)); w += 1 }
         val sa1 = graft.codec.SuffixArrays.sais(s1, numNames)
         val out = new Array[Int](m)
         j = 0
