@@ -129,10 +129,13 @@ object Bench {
     */
   def preparePages(s: SparkSession, sfDir: String): String = {
     val n = pagesFor(sfDir)
-    val path = benchDir(s"pages_$n.parquet")
-    if (!new java.io.File(path).exists()) {
-      graft.spark.PagesGen.generate(s, n, hostSkew = true,
-        partitions = s.sparkContext.defaultParallelism)
+    // keyed by (count, writer parallelism) so a table written at a lower
+    // level never silently caps a higher level's read tasks, and gated on
+    // _SUCCESS so an interrupted write is regenerated, not read partially
+    val parts = s.sparkContext.defaultParallelism
+    val path = benchDir(s"pages_${n}_p$parts.parquet")
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      graft.spark.PagesGen.generate(s, n, hostSkew = true, partitions = parts)
         .write.mode("overwrite").parquet(path)
     }
     path

@@ -118,11 +118,15 @@ object Huffman {
     varIntLen + 128L + (bits + 7) / 8
   }
 
-  def compress(data: Array[Byte]): Array[Byte] =
-    compressWith(data, codeLengths(histogram(data)))
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val freq = histogram(data)
+    val lens = codeLengths(freq)
+    compressWithSized(data, lens, compressedSize(freq, lens, data.length).toInt)
+  }
 
   /** Encode with precomputed code lengths (from [[codeLengths]] of the
-    * data's own histogram — a foreign table would corrupt).
+    * data's own histogram — a foreign table would corrupt). Re-histograms
+    * to size the output; hot call sites use [[compressWithSized]] directly.
     */
   def compressWith(data: Array[Byte], lens: Array[Int]): Array[Byte] = {
     val freq = histogram(data)

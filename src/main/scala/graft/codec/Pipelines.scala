@@ -141,7 +141,7 @@ object Pipelines {
     cost
   }
 
-  private def mtfRleSerialize(m: MtfChunk): Array[Byte] = {
+  private[graft] def mtfRleSerialize(m: MtfChunk): Array[Byte] = {
     val buf = new Bytes.Buf(m.indices.length / 4 + m.alphabet.length + 16)
     buf.writeVarInt(m.indices.length)
     buf.writeVarInt(m.alphabet.length)

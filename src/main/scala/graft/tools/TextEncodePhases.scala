@@ -28,46 +28,11 @@ object TextEncodePhases {
     // pre-compute BWTs + MTF chunks once so tail phases are isolated
     val bwts = all.map(BwtCodec.encode)
     val mtfs = bwts.map(MtfCodec.encode)
-    val mtfRle = mtfs.map { m =>
-      // mirror of Pipelines.mtfRleSerialize (private): varint stream
-      val buf = new Bytes.Buf(m.indices.length / 4 + m.alphabet.length + 16)
-      buf.writeVarInt(m.indices.length)
-      buf.writeVarInt(m.alphabet.length)
-      buf.writeBytes(m.alphabet)
-      var i = 0
-      val len = m.indices.length
-      while (i < len) {
-        val v = m.indices(i)
-        var j = i + 1
-        while (j < len && m.indices(j) == v) j += 1
-        buf.writeVarInt(j - i)
-        buf.writeVarInt(v)
-        i = j
-      }
-      buf.toArray
-    }
+    val mtfRle = mtfs.map(Pipelines.mtfRleSerialize)
 
     time("sa+bwt")(all.map(BwtCodec.encode(_).sentinelPos.toLong).sum)
     time("mtf_encode")(bwts.map(MtfCodec.encode(_).indices.length.toLong).sum)
-    time("mtfrle_serialize") {
-      mtfs.map { m =>
-        val buf = new Bytes.Buf(m.indices.length / 4 + m.alphabet.length + 16)
-        buf.writeVarInt(m.indices.length)
-        buf.writeVarInt(m.alphabet.length)
-        buf.writeBytes(m.alphabet)
-        var i = 0
-        val len = m.indices.length
-        while (i < len) {
-          val v = m.indices(i)
-          var j = i + 1
-          while (j < len && m.indices(j) == v) j += 1
-          buf.writeVarInt(j - i)
-          buf.writeVarInt(v)
-          i = j
-        }
-        buf.toArray.length.toLong
-      }.sum
-    }
+    time("mtfrle_serialize")(mtfs.map(Pipelines.mtfRleSerialize(_).length.toLong).sum)
     time("rle_encode+serialize") {
       bwts.map(b => RleCodec.serialize(RleCodec.encode(b)).length.toLong).sum
     }
@@ -76,12 +41,6 @@ object TextEncodePhases {
         val freq = Huffman.histogram(a)
         val lens = Huffman.codeLengths(freq)
         Huffman.compressedSize(freq, lens, a.length)
-      }.sum
-    }
-    time("huffman_compress") {
-      mtfRle.map { a =>
-        val lens = Huffman.codeLengths(Huffman.histogram(a))
-        Huffman.compressWith(a, lens).length.toLong
       }.sum
     }
     time("mtfrle_fused")(bwts.map(Pipelines.mtfRleEncodeFused(_).length.toLong).sum)
