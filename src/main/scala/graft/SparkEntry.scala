@@ -93,6 +93,11 @@ object SparkEntry {
       )),
     "q02_rle_direct_roundtrip" -> ((s, dir) =>
       roundtripQuery(s, dir)(Pipelines.rleDirectEncode, Pipelines.rleDirectDecode)),
+    // the speed-biased policy point (EncodeConfig.bwtBias = 0): order-0
+    // Huffman with a raw floor, no SA/BWT work — same tag space as
+    // textEncode so textDecode reads both
+    "q43_speed_encode_roundtrip" -> ((s, dir) =>
+      roundtripQuery(s, dir)(Pipelines.textEncodeFast, Pipelines.textDecode)),
     "q03_bwt_rle_roundtrip" -> ((s, dir) =>
       roundtripQuery(s, dir)(Pipelines.bwtRleEncode, Pipelines.bwtRleDecode)),
     "q04_bwt_mtf_roundtrip" -> ((s, dir) =>
@@ -567,6 +572,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_bwt_roundtrip" -> identityTextOracle,
     "q02_rle_direct_roundtrip" -> identityTextOracle,
+    "q43_speed_encode_roundtrip" -> identityTextOracle,
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,
