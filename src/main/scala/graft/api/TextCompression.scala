@@ -69,9 +69,17 @@ object TextCompression {
   /** The reference's `seqFromRLE` + BWT inverse
     * (RLE/Internal.hs:155-189, quirks included) — migrates values a user
     * stored in the reference's token format back to the original bytes.
+    *
+    * NOTE (accepted-input change vs earlier builds): the parse enforces a
+    * decompression-bomb bound of `maxExpanded` symbols (default 4M — a
+    * corrupt count token must throw promptly, not OOM the executor).
+    * Migrations of legitimately larger single values must pass an explicit
+    * larger bound; they are not silently truncated, they throw.
     */
-  def fromReferenceRleTokens(tokens: Seq[Option[String]]): Array[Byte] =
-    BwtCodec.decode(ReferenceRle.streamToBwt(ReferenceRle.parse(tokens)))
+  def fromReferenceRleTokens(
+      tokens: Seq[Option[String]],
+      maxExpanded: Int = 1 << 22): Array[Byte] =
+    BwtCodec.decode(ReferenceRle.streamToBwt(ReferenceRle.parse(tokens, maxExpanded)))
 
   /** The reference's `seqFromMTF` + BWT inverse (MTF/Internal.hs:201-232):
     * decodes the reference's stored (indices, final recency list) pair.

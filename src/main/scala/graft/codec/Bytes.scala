@@ -73,6 +73,10 @@ object Bytes {
     def readVarLong(): Long = {
       var shift = 0; var result = 0L; var b = 0
       do {
+        // a 64-bit value needs at most 10 LEB128 bytes (last shift = 63);
+        // an 11th continuation byte would wrap the shift mod 64 and silently
+        // yield a bogus small value that bypasses the size guards downstream
+        require(shift < 64, s"corrupt payload: malformed varint (>10 bytes) at $pos")
         b = arr(pos) & 0xFF; pos += 1
         result |= (b & 0x7FL) << shift
         shift += 7

@@ -40,8 +40,21 @@ object AnnIndexJob {
 
   private def ivfCentroidsPath(dir: String) = s"$dir/ivf_centroids"
   private def ivfAssignPath(dir: String) = s"$dir/ivf_assign"
+  private def ivfLookupPath(dir: String) = s"$dir/ivf_lookup"
   private def rhpMetaPath(dir: String) = s"$dir/rhp_meta"
   private def rhpRowsPath(dir: String) = s"$dir/rhp_rows"
+  private def rhpLookupPath(dir: String) = s"$dir/rhp_lookup"
+
+  /** Write an id-keyed lookup table: range-partitioned and sorted by id, so
+    * fetching a handful of query vectors is an `id isin (...)` filter that
+    * prunes to the few row groups whose min/max id stats cover the probes —
+    * NOT a scan of the (list_id- or band-partitioned) index body, whose
+    * layout serves the candidate probe and carries no id locality.
+    */
+  private def writeIdLookup(df: DataFrame, path: String): Unit =
+    df.repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Deterministic coarse quantizer shared with [[Similarity.ivfTopK]]:
     * the nLists corpus vectors with the lowest xxhash64(id) ranks.
@@ -95,6 +108,7 @@ object AnnIndexJob {
     }.write.mode(SaveMode.Overwrite)
       .partitionBy("list_id")
       .parquet(ivfAssignPath(outDir))
+    writeIdLookup(vectors.toDF("id", "vec"), ivfLookupPath(outDir))
   }
 
   /** Top-k cosine search against a stored IVF index. No assignment pass:
@@ -112,7 +126,9 @@ object AnnIndexJob {
     val cents: Array[Array[Float]] = spark.read.parquet(ivfCentroidsPath(indexDir))
       .as[IvfCentroid].collect().sortBy(_.list_id).map(_.vec)
     val assign = spark.read.parquet(ivfAssignPath(indexDir))
-    val queries: Array[(Long, Array[Float])] = assign
+    // row-group-pruned fetch from the id-sorted lookup — does not open the
+    // list-partitioned index body at all
+    val queries: Array[(Long, Array[Float])] = spark.read.parquet(ivfLookupPath(indexDir))
       .filter(col("id").isin(queryIds: _*))
       .select($"id", $"vec").as[(Long, Array[Float])].collect()
 
@@ -178,6 +194,11 @@ object AnnIndexJob {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("band")
       .parquet(rhpRowsPath(outDir))
+    writeIdLookup(
+      vectors.map { case (id, vec) =>
+        (id, vec, Similarity.rhpSignature(vec, bands * bitsPerBand, RhpSeed))
+      }.toDF("id", "vec", "sig"),
+      rhpLookupPath(outDir))
   }
 
   /** All bucket values within `maxFlips` bit flips of `base` —
@@ -224,8 +245,10 @@ object AnnIndexJob {
     val mp = math.min(multiProbe, bits)
     val mask = (1L << bits) - 1
     val rows = spark.read.parquet(rhpRowsPath(indexDir))
-    val queries: Array[(Long, Array[Float], Long)] = rows
-      .filter(col("band") === 0 && col("id").isin(queryIds: _*))
+    // row-group-pruned fetch from the id-sorted lookup — the band-partitioned
+    // index body has bucket locality, not id locality
+    val queries: Array[(Long, Array[Float], Long)] = spark.read.parquet(rhpLookupPath(indexDir))
+      .filter(col("id").isin(queryIds: _*))
       .select($"id", $"vec", $"sig").as[(Long, Array[Float], Long)].collect()
 
     // per band: union of every query's probe buckets (pushdown filter)

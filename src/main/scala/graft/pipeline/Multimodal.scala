@@ -92,8 +92,15 @@ object Multimodal {
       val size = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
       // A declared size that overruns the payload means the header is
       // inconsistent — stop the walk rather than loop or index past the end.
-      if (size > bytes.length - off - 8) ok = false
-      else {
+      // Exception: a *final* 'data' chunk that overruns is the classic
+      // truncated-download shape; clamp it to the bytes actually present
+      // (salvaging the media) instead of rejecting. Mid-stream overruns of
+      // any other chunk still reject — there is no safe way to resume the
+      // walk past them.
+      if (size > bytes.length - off - 8) {
+        if (id == "data") dataLen = bytes.length - off - 8
+        ok = false
+      } else {
         if (id == "fmt " && off + 8 + 16 <= bytes.length) {
           channels = le16(bytes, o + 10)
           sampleRate = le32(bytes, o + 12)
@@ -117,8 +124,10 @@ object Multimodal {
       val o = off.toInt
       val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
-      if (size > bytes.length - off - 8) return -1
+      // mirror decodeWav: a truncated final 'data' chunk still has a valid
+      // payload start (its length is clamped by decodeWav's WavInfo)
       if (id == "data") return o + 8
+      if (size > bytes.length - off - 8) return -1
       off += 8L + size + (size & 1L)
     }
     -1

@@ -240,9 +240,13 @@ object Similarity {
     * Shape matches [[bruteForceTopK]]: one narrow corpus pass (assignment
     * + gated scoring into bounded per-partition heaps), tiny final merge,
     * no corpus-sized exchange. nProbe = nLists degenerates to exact brute
-    * force (the oracle-able configuration); at scale the assignment would
-    * be precomputed once into a stored index table rather than recomputed
-    * per query batch.
+    * force (the oracle-able configuration).
+    *
+    * NOTE this form re-assigns the whole corpus on EVERY query batch — it
+    * is the verification-tier path. For repeated searches use
+    * [[AnnIndexJob.buildIvf]] + [[AnnIndexJob.searchIvf]]: the stored,
+    * `partitionBy(list_id)` index makes each search a partition-pruned
+    * scan of only the probed lists.
     */
   def ivfTopK(
       spark: SparkSession,
@@ -334,6 +338,12 @@ object Similarity {
     * clusters (SimilaritySpec); exact-band drops to ~0.1 on weakly
     * similar data — the brute-force operator is the exact baseline, this
     * one is the sublinear scale path for strong-similarity workloads.
+    *
+    * NOTE this form re-bands the whole corpus on EVERY query batch — it is
+    * the verification-tier path. For repeated searches use
+    * [[AnnIndexJob.buildRhp]] + [[AnnIndexJob.searchRhp]]: the stored,
+    * `partitionBy(band)` bucket-sorted index turns candidate generation
+    * into a row-group-pruned probe scan.
     */
   def lshTopK(
       spark: SparkSession,

@@ -24,6 +24,13 @@ class ColumnCodecSpec extends AnyFunSuite {
     vals.foreach(buf.writeZigZag)
     val rd = new Bytes.Reader(buf.toArray)
     vals.foreach(v => assert(rd.readZigZag() == v))
+    // max-length legitimate varint (10 bytes, e.g. -1L unsigned) decodes;
+    // an 11th continuation byte would wrap shift mod 64 into a bogus small
+    // value that bypasses size guards — it must throw instead
+    val ok = new Bytes.Buf(); ok.writeVarLong(-1L)
+    assert(new Bytes.Reader(ok.toArray).readVarLong() == -1L)
+    val bomb = Array.fill[Byte](12)(0xFF.toByte)
+    intercept[IllegalArgumentException](new Bytes.Reader(bomb).readVarLong())
   }
 
   test("binary column: auto-selected codecs roundtrip on characteristic shapes") {

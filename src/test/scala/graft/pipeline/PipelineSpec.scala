@@ -306,11 +306,19 @@ class PipelineSpec extends AnyFunSuite {
       val c = b.clone(); c(off) = (v & 0xFF).toByte; c(off + 1) = ((v >> 8) & 0xFF).toByte; c
     }
     assert(Multimodal.decodeWav(patch32(wav, 16, 0xFFFFFFF8L)).isEmpty) // fmt size -> step 0
-    assert(Multimodal.decodeWav(patch32(wav, 40, 0xFFFFFFF8L)).isEmpty) // data size overrun
+    assert(Multimodal.decodeWav(patch32(wav, 16, 100000L)).isEmpty) // fmt (mid-stream) overrun
     assert(Multimodal.decodeWav(patch32(wav, 16, 0x80000000L)).isEmpty) // >= 2^31
     for (bits <- Seq(0, 1, 7, 9)) // invalid bitsPerSample: reject, no div-by-zero
       assert(Multimodal.decodeWav(patch16(wav, 34, bits)).isEmpty)
-    assert(Multimodal.sampleWav(patch32(wav, 40, 0xFFFFFFF8L), 4).isEmpty)
+    // a FINAL 'data' chunk whose declared size overruns is the classic
+    // truncated download: clamp to the bytes present (still terminates, no
+    // index past end), so the media is salvaged rather than dropped
+    val truncDecl = Multimodal.decodeWav(patch32(wav, 40, 0xFFFFFFF8L)).get
+    assert(truncDecl.nSamples == 12345L && truncDecl.sampleRate == 16000)
+    val truncBytes = java.util.Arrays.copyOf(wav, wav.length - 1000) // really truncated file
+    val ti = Multimodal.decodeWav(truncBytes).get
+    assert(ti.nSamples == 12345L - 250 && Multimodal.sampleWav(truncBytes, 4).isDefined)
+    assert(Multimodal.sampleWav(patch32(wav, 40, 0xFFFFFFF8L), 4).isDefined)
     // extractFeatures sniffs kinds end to end
     import TestSpark.spark.implicits._
     val ds = TestSpark.spark.createDataset(Seq(
