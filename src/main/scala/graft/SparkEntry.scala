@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.codec._
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
-import graft.spark.{EncodeConfig, EncodeJob, PagesGen, SearchJob, VerifyJob}
+import graft.spark.{DecodeJob, EncodeConfig, EncodeJob, Page, PagesGen, SearchJob, VerifyJob}
 
 /** Driver contract: one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-runnable oracle where the semantics are
@@ -22,6 +22,21 @@ object SparkEntry {
   private def docsKT(s: SparkSession, dir: String): Dataset[(Long, String)] = {
     import s.implicits._
     docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+  }
+
+  /** Deterministic pages table derived from `documents` — every field a
+    * pure SQL-expressible function of the row, so DuckDB can reconstruct
+    * the exact url/text/lang triples the encoded-table queries (q44/q45)
+    * must hand back.
+    */
+  private def pagesFromDocs(s: SparkSession, dir: String): Dataset[Page] = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        Page(s"https://host${id % 7}.example/d/$id",
+          java.sql.Timestamp.from(PagesGen.Epoch.plusSeconds(id)),
+          null, text, lang)
+      }
   }
 
   /** Generic per-doc roundtrip query: decode(encode(text)) as text_rt. */
@@ -522,8 +537,73 @@ object SparkEntry {
       graft.pipeline.AnnIndexJob.buildRhp(s, vecs, idxDir, bands = 4, bitsPerBand = 8)
       graft.pipeline.AnnIndexJob.searchRhp(s, idxDir, Seq(0L, 1L, 2L, 3L, 4L), 5, multiProbe = 8)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+    },
+
+    // --- pruned point lookup on the encoded table: "give me url X" must
+    // decode only the chunks whose [url_min, url_max] covers X (pushed to
+    // parquet row-group stats), not the partition — the table-level
+    // analogue of locate's random-access-without-full-decompression
+    // (/root/reference/src/Data/FMIndex.hs:473-474). The require pins the
+    // pruning itself, the oracle pins the returned rows.
+    "q44_decode_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/lookup_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
+        EncodeConfig(numPartitions = 8, chunkRows = 16))
+      val ids = docs(s, dir).select($"doc_id").as[Long].collect().filter(_ % 97 == 3)
+      val urls = ids.map(id => s"https://host${id % 7}.example/d/$id").toSeq
+      // pruning gate: with home-partition + range pruning, a k-url lookup
+      // may touch at most k chunks (chunk url ranges are disjoint within a
+      // partition, and each url is probed only in its home partition)
+      val meta = EncodeJob.readMeta(s, outDir).get
+      val lookCfg = EncodeConfig(numPartitions = meta.numPartitions, saltFactor = meta.saltFactor)
+      val pidByUrl = urls.toDF("url").withColumn("part_id", EncodeJob.partIdCol(lookCfg))
+        .as[(String, Int)].collect().toMap
+      val chunks = s.read.parquet(EncodeJob.chunksPath(outDir))
+      val pred = urls.map(u =>
+        col("part_id") === pidByUrl(u) && col("url_min") <= u && col("url_max") >= u
+      ).reduce(_ || _)
+      val matched = chunks.filter(pred).select("part_id", "chunk_id").distinct().count()
+      val total = chunks.select("part_id", "chunk_id").distinct().count()
+      require(matched <= urls.length.toLong && matched < total,
+        s"lookup pruning failed: $matched of $total chunks matched for ${urls.length} urls")
+      DecodeJob.lookupUrls(s, outDir, urls)
+        .select($"url", $"text", $"lang")
+    },
+
+    // --- chunk-level incremental append: new urls become NEW chunk files
+    // and lineage rows; existing chunks stay byte-identical; re-appending
+    // the same delta is a no-op (the Iceberg-snapshot semantics the north
+    // rule emulates, BASELINE.json:14). Oracle checks the decoded union.
+    "q45_incremental_append" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/append_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val pages = pagesFromDocs(s, dir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 3 != 2), outDir, cfg)
+      def hashes(): Map[(Int, Int, String), Long] = s.read.parquet(EncodeJob.chunksPath(outDir))
+        .select($"part_id", $"chunk_id", $"col_name", $"payload_hash")
+        .as[(Int, Int, String, Long)].collect()
+        .map { case (p, c, n, h) => (p, c, n) -> h }.toMap
+      val before = hashes()
+      val delta = pages.filter(p => hashDocId(p.url) % 3 == 2)
+      EncodeJob.append(s, delta, outDir, cfg)
+      val after = hashes()
+      require(before.forall { case (k, h) => after(k) == h },
+        "append modified an existing chunk")
+      require(after.size > before.size, "append added no chunks")
+      // same-delta re-append must be a no-op
+      val rerun = EncodeJob.append(s, delta, outDir, cfg).count()
+      require(rerun == 0L && hashes() == after, "re-append was not a no-op")
+      DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
     }
   )
+
+  /** doc_id back out of a q44/q45 url (pure inverse of pagesFromDocs). */
+  private def hashDocId(url: String): Long =
+    url.substring(url.lastIndexOf('/') + 1).toLong
 
   // Bwt payload helper for q01 (sentinelPos + data)
   private def serializeBwt(b: Bwt): Array[Byte] = {
@@ -573,6 +653,16 @@ object SparkEntry {
     "q01_bwt_roundtrip" -> identityTextOracle,
     "q02_rle_direct_roundtrip" -> identityTextOracle,
     "q43_speed_encode_roundtrip" -> identityTextOracle,
+    // q44/q45 reconstruct pagesFromDocs' pure url function in SQL; ts/html
+    // are excluded from the compared columns (ts formatting is JVM-side)
+    "q44_decode_lookup" ->
+      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |       text, lang
+        |FROM documents WHERE doc_id % 97 = 3""".stripMargin,
+    "q45_incremental_append" ->
+      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |       text, lang
+        |FROM documents""".stripMargin,
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

@@ -1,6 +1,7 @@
 package graft.spark
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.codec.ColumnCodec
@@ -15,12 +16,35 @@ import graft.codec.ColumnCodec
   * columns *before* materializing rows; per-column decode is available via
   * [[decodeColumn]] for that path (only the requested column's chunks are
   * scanned — Parquet predicate/column pushdown keeps the scan minimal).
+  *
+  * Point/range reads — "give me url X" / "give me host Y's pages", the most
+  * common patterns an encoded-pages table serves — go through
+  * [[lookupUrls]] / [[decodeUrlRange]] / [[decodeUrlPrefix]]: chunks are
+  * url-sorted in-kernel and carry `url_min`/`url_max` columns, so the
+  * chunk filter pushes to parquet row-group stats and the payloads of
+  * non-covering chunks are never read or decoded. The FM-index locate
+  * exists for exactly this reason — random access without full
+  * decompression (/root/reference/src/Data/FMIndex.hs:473-474) — and these
+  * are its table-level analogue.
   */
 object DecodeJob {
 
-  def run(spark: SparkSession, outDir: String): Dataset[Page] = {
+  def run(spark: SparkSession, outDir: String): Dataset[Page] =
+    decodeChunksWhere(spark, outDir, lit(true))
+
+  /** Decode only the chunks passing `chunkPred` (a predicate over the
+    * chunk METADATA columns `part_id`/`chunk_id`/`url_min`/`url_max` —
+    * never the payload). All five column rows of a chunk share identical
+    * metadata, so any such predicate keeps chunk groups intact.
+    */
+  private def decodeChunksWhere(
+      spark: SparkSession,
+      outDir: String,
+      chunkPred: Column
+  ): Dataset[Page] = {
     import spark.implicits._
     spark.read.parquet(EncodeJob.chunksPath(outDir))
+      .filter(chunkPred)
       .as[EncodedChunk]
       .groupByKey(c => (c.part_id, c.chunk_id))
       .flatMapGroups { (_: (Int, Int), chunks: Iterator[EncodedChunk]) =>
@@ -44,6 +68,71 @@ object DecodeJob {
         }
       }
   }
+
+  /** Point lookup: the pages for exactly these urls (absent urls simply
+    * yield no row). Two-level pruning:
+    *  - part_id is a pure function of (url, stored EncodeMeta), so each
+    *    url's HOME PARTITION is computed up front and the scan opens only
+    *    those partition directories (partition pruning proper);
+    *  - within them, only chunks whose `[url_min, url_max]` covers the url
+    *    are read (pushed to parquet row-group stats).
+    * Net: a k-url lookup touches <= k chunks' payloads regardless of table
+    * size. Intended for point reads (one range test per url); for url SETS
+    * at corpus scale use [[decodeUrlRange]] per host/prefix slice or a
+    * join against the decoded url column.
+    */
+  def lookupUrls(spark: SparkSession, outDir: String, urls: Seq[String]): Dataset[Page] = {
+    import spark.implicits._
+    if (urls.isEmpty) return spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[Page])
+    // home partition per url, via the exact partIdCol expression the
+    // encoder used (config recovered from the stored _meta table)
+    val pidByUrl: Map[String, Int] = EncodeJob.readMeta(spark, outDir) match {
+      case Some(m) =>
+        val cfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
+        urls.toDF("url").withColumn("part_id", EncodeJob.partIdCol(cfg))
+          .as[(String, Int)].collect().toMap
+      case None => Map.empty // pre-meta table: range-only pruning
+    }
+    val pred = urls.map { u =>
+      val range = col("url_min") <= u && col("url_max") >= u
+      pidByUrl.get(u) match {
+        case Some(pid) => col("part_id") === pid && range
+        case None => range
+      }
+    }.reduce(_ || _)
+    val urlSet = urls.toSet
+    decodeChunksWhere(spark, outDir, pred).filter(p => urlSet.contains(p.url))
+  }
+
+  /** All pages with `lo <= url < hiExclusive` (Catalyst UTF8String binary
+    * order — the same order the chunk slices are sorted in). Chunk filter:
+    * range overlap on `url_min`/`url_max`, pushed to row-group stats.
+    */
+  def decodeUrlRange(
+      spark: SparkSession,
+      outDir: String,
+      lo: String,
+      hiExclusive: String
+  ): Dataset[Page] =
+    decodeChunksWhere(spark, outDir, col("url_max") >= lo && col("url_min") < hiExclusive)
+      .filter(p => {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(p.url)
+        u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(lo)) >= 0 &&
+          u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(hiExclusive)) < 0
+      })
+
+  /** All pages whose url starts with `prefix` (e.g. a scheme+host slice).
+    * The prefix interval `[prefix, succ(prefix))` needs no successor-string
+    * computation: a chunk overlaps iff `url_max >= prefix` and `url_min`
+    * is below the interval end, i.e. `url_min < prefix` or it has the
+    * prefix itself.
+    */
+  def decodeUrlPrefix(spark: SparkSession, outDir: String, prefix: String): Dataset[Page] =
+    decodeChunksWhere(spark, outDir,
+      col("url_max") >= prefix &&
+        (col("url_min") < prefix || col("url_min").startsWith(prefix)))
+      .filter(p => p.url.startsWith(prefix))
 
   /** Decode a single column (positional within (part_id, chunk_id)) —
     * the column-pruned read path.

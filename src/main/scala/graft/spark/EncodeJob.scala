@@ -19,6 +19,9 @@ final case class EncodedChunk(
     bytes_out: Long,
     payload_hash: Long, // FNV-1a of payload, computed in-kernel so lineage
     // aggregation never has to re-scan payload bytes (column pruning)
+    url_min: String, // first/last url of the chunk's (url-sorted) row slice:
+    url_max: String, // point lookups and range decodes filter chunks on these
+    // (pushed to parquet row-group stats) BEFORE touching any payload
     payload: Array[Byte]
 )
 
@@ -85,6 +88,38 @@ object EncodeJob {
 
   def lineagePath(outDir: String) = s"$outDir/_lineage"
   def chunksPath(outDir: String) = s"$outDir/chunks"
+  def metaPath(outDir: String) = s"$outDir/_meta"
+
+  /** The layout-determining half of [[EncodeConfig]], persisted next to
+    * the chunks: part_id is a pure function of (url, numPartitions,
+    * saltFactor), so a reader who knows these can compute any url's home
+    * partition and prune the lookup scan to ONE partition directory.
+    */
+  final case class EncodeMeta(numPartitions: Int, saltFactor: Int, chunkRows: Int)
+
+  private def writeMeta(spark: SparkSession, outDir: String, cfg: EncodeConfig): Unit = {
+    import spark.implicits._
+    spark.createDataset(Seq(EncodeMeta(cfg.numPartitions, cfg.saltFactor, cfg.chunkRows)))
+      .write.mode(SaveMode.Overwrite).parquet(metaPath(outDir))
+  }
+
+  def readMeta(spark: SparkSession, outDir: String): Option[EncodeMeta] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(metaPath(outDir)).as[EncodeMeta].head())
+  }
+
+  /** A later write to an existing table must use the same partitioning
+    * function, or (part_id, chunk_id) identity and lookup pruning break.
+    */
+  private def requireLayoutMatch(spark: SparkSession, outDir: String, cfg: EncodeConfig): Unit =
+    readMeta(spark, outDir).foreach { m =>
+      require(m.numPartitions == cfg.numPartitions && m.saltFactor == cfg.saltFactor,
+        s"encoded table at $outDir was written with numPartitions=${m.numPartitions}/" +
+          s"saltFactor=${m.saltFactor}; this config says ${cfg.numPartitions}/${cfg.saltFactor}")
+    }
 
   /** Part ids already completed according to the lineage table. */
   def donePartIds(spark: SparkSession, outDir: String): Set[Int] = {
@@ -111,6 +146,8 @@ object EncodeJob {
   ): Dataset[LineageRecord] = {
     import spark.implicits._
 
+    requireLayoutMatch(spark, outDir, cfg)
+    writeMeta(spark, outDir, cfg)
     val done = donePartIds(spark, outDir)
     val withPart = pages.withColumn("part_id", partIdCol(cfg))
     val todo =
@@ -127,12 +164,45 @@ object EncodeJob {
 
     // one shuffle; chunk layout determinism comes from the in-kernel sort
     // (cheaper than a whole-stage Catalyst sort over the raw bytes)
-    val chunks = if (!cfg.mapSidePreEncode) {
+    val chunks = encodeChunkStream(todo, cfg, r => acc.add(r))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    chunks.toDF()
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
+      .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
+      .option("compression", "none") // payloads are already codec-compressed
+      .partitionBy("part_id")
+      .parquet(chunksPath(outDir))
+
+    import scala.jdk.CollectionConverters._
+    // distinct: stage retries can double-add; records are deterministic
+    val records = acc.value.asScala.toSeq.distinct
+    if (records.nonEmpty) {
+      spark.createDataset(records)
+        .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+    }
+    // return THIS run's records; the full table lives at lineagePath
+    spark.createDataset(records)
+  }
+
+  /** The shared exchange + kernel pipeline of [[run]] and [[append]]:
+    * pages-with-part_id rows in, EncodedChunk stream out (chunk ids start
+    * at 0 per part; [[append]] shifts them afterwards).
+    */
+  private def encodeChunkStream(
+      todo: DataFrame,
+      cfg: EncodeConfig,
+      onPart: LineageRecord => Unit
+  ): Dataset[EncodedChunk] = {
+    val spark = todo.sparkSession
+    import spark.implicits._
+    if (!cfg.mapSidePreEncode) {
       todo
         .repartition(cfg.numPartitions, $"part_id")
         .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
         .mapPartitions { it =>
-          encodePartitionImpl(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+          encodePartitionImpl(it, cfg.chunkRows, onPart, cfg.bwtBias)
         }
     } else {
       // narrow pre-encode of the two heavy columns BEFORE the exchange;
@@ -154,31 +224,93 @@ object EncodeJob {
         shuffled
           .sortWithinPartitions($"_6", $"_1")
           .mapPartitions { it =>
-            encodePreEncodedSorted(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+            encodePreEncodedSorted(it, cfg.chunkRows, onPart, cfg.bwtBias)
           }
       else
         shuffled.mapPartitions { it =>
-          encodePreEncodedPartition(it, cfg.chunkRows, r => acc.add(r), cfg.bwtBias)
+          encodePreEncodedPartition(it, cfg.chunkRows, onPart, cfg.bwtBias)
         }
     }
+  }
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    chunks.toDF()
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
-      .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
-      .option("compression", "none") // payloads are already codec-compressed
+  /** Chunk-level incremental append: encode ONLY the delta's new urls into
+    * NEW chunk files + lineage rows, leaving every existing chunk file
+    * untouched (the gap between "resumable" — [[run]]'s partition-grained
+    * skip — and "incremental": a daily crawl delta at 100 TB must not
+    * re-encode the partitions it lands in).
+    *
+    * Mechanics:
+    *  - part_id is the same pure row function as [[run]]'s, so delta rows
+    *    land in their home partitions;
+    *  - already-present urls are dropped by decoding the url column of ONLY
+    *    those chunks whose `[url_min, url_max]` range covers a delta url
+    *    (a range semi-join — on a disjoint delta nothing is decoded);
+    *  - new chunks get ids starting past the part's existing count (from
+    *    the lineage table), so `(part_id, chunk_id)` stays unique and
+    *    [[DecodeJob]] needs no changes;
+    *  - chunk files and lineage rows are APPENDED; re-running the same
+    *    delta is a no-op (every url dedupes away, nothing is written).
+    *
+    * Returns this append's lineage records (empty if the delta was fully
+    * deduplicated).
+    */
+  def append(
+      spark: SparkSession,
+      delta: Dataset[Page],
+      outDir: String,
+      cfg: EncodeConfig = EncodeConfig()
+  ): Dataset[LineageRecord] = {
+    import spark.implicits._
+
+    requireLayoutMatch(spark, outDir, cfg)
+    val withPart = delta.withColumn("part_id", partIdCol(cfg))
+
+    // --- dedupe against the stored table via per-chunk url ranges
+    val urlChunks = spark.read.parquet(chunksPath(outDir))
+      .filter($"col_name" === "url")
+      .select($"part_id", $"chunk_id", $"url_min", $"url_max", $"payload")
+    val deltaKeys = withPart.select($"url".as("d_url"), $"part_id".as("d_part"))
+    val candidateChunks = urlChunks.join(deltaKeys,
+        urlChunks("part_id") === $"d_part" &&
+          $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
+        "left_semi")
+    val existingUrls = candidateChunks.select($"payload").as[Array[Byte]]
+      .flatMap(p => ColumnCodec.decodeBinary(p).iterator.map(new String(_, UTF_8)))
+      .toDF("url")
+    val newRows = withPart.join(existingUrls, Seq("url"), "left_anti")
+      // join reorders columns (join key first); restore kernel column order
+      .select("url", "warc_ts", "html", "text", "lang", "part_id")
+
+    // --- chunk-id offsets: sum of each part's chunk counts so far
+    val offsets: Map[Int, Int] = {
+      val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Map.empty
+      else spark.read.parquet(lineagePath(outDir))
+        .groupBy($"part_id").agg(sum($"n_chunks").as("n"))
+        .as[(Int, Long)].collect().map { case (pid, n) => pid -> n.toInt }.toMap
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+
+    val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]
+    spark.sparkContext.register(acc, "graft_lineage_append")
+
+    encodeChunkStream(newRows, cfg, r => acc.add(r))
+      .map(c => c.copy(chunk_id = c.chunk_id + bcOff.value.getOrElse(c.part_id, 0)))
+      .toDF()
+      .write.mode(SaveMode.Append)
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .option("compression", "none")
       .partitionBy("part_id")
       .parquet(chunksPath(outDir))
 
     import scala.jdk.CollectionConverters._
-    // distinct: stage retries can double-add; records are deterministic
     val records = acc.value.asScala.toSeq.distinct
     if (records.nonEmpty) {
       spark.createDataset(records)
         .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     }
-    // return THIS run's records; the full table lives at lineagePath
     spark.createDataset(records)
   }
 
@@ -203,7 +335,9 @@ object EncodeJob {
   /** Container in BwtBin layout over pre-encoded values (+ null bitmap +
     * Huffman wrap when they pay for themselves); one chunk row.
     */
-  private def containerizePre(pid: Int, cid: Int, name: String, pre: Array[Array[Byte]]): EncodedChunk = {
+  private def containerizePre(
+      pid: Int, cid: Int, name: String, pre: Array[Array[Byte]],
+      urlMin: String, urlMax: String): EncodedChunk = {
     import graft.codec.{Bytes, ColumnCodec}
     var rawBytes = 0L
     val bodies = new Array[Array[Byte]](pre.length)
@@ -260,7 +394,8 @@ object EncodeJob {
       }
     }
     EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-      pre.length, rawBytes, payload.length.toLong, fnv1a(payload), payload)
+      pre.length, rawBytes, payload.length.toLong, fnv1a(payload),
+      urlMin, urlMax, payload)
   }
 
   /** The 5 column chunks of one pre-encoded row slice. */
@@ -278,21 +413,25 @@ object EncodeJob {
       Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
     }.toArray
     val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
+    // chunk is a url-sorted slice, so its url range is (first, last); every
+    // column chunk of the slice carries the same range for pruned lookups
+    val urlMin = chunk.head._1
+    val urlMax = chunk.last._1
     def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
       val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
       EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
         values.length,
         values.map(v => if (v == null) 0L else v.length.toLong).sum,
-        payload.length.toLong, fnv1a(payload), payload)
+        payload.length.toLong, fnv1a(payload), urlMin, urlMax, payload)
     }
     val tsPayload = ColumnCodec.encodeLong(tss)
     Seq(
       bin("url", urls),
       EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
         tss.length, tss.length * 8L, tsPayload.length.toLong,
-        fnv1a(tsPayload), tsPayload),
-      containerizePre(pid, cid, "html", chunk.map(_._3).toArray),
-      containerizePre(pid, cid, "text", chunk.map(_._4).toArray),
+        fnv1a(tsPayload), urlMin, urlMax, tsPayload),
+      containerizePre(pid, cid, "html", chunk.map(_._3).toArray, urlMin, urlMax),
+      containerizePre(pid, cid, "text", chunk.map(_._4).toArray, urlMin, urlMax),
       bin("lang", langs)
     )
   }
@@ -475,20 +614,22 @@ object EncodeJob {
         val htmls = chunk.map(_._3).toArray // Array[Byte], may be null
         val texts = chunk.map(r => nb(r._4)).toArray
         val langs = chunk.map(r => nb(r._5)).toArray
+        val urlMin = chunk.head._1
+        val urlMax = chunk.last._1
         def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
           val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
           EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
             values.length,
             values.map(v => if (v == null) 0L else v.length.toLong).sum,
             payload.length.toLong,
-            fnv1a(payload), payload)
+            fnv1a(payload), urlMin, urlMax, payload)
         }
         val tsPayload = ColumnCodec.encodeLong(tss)
         Seq(
           bin("url", urls),
           EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
             tss.length, tss.length * 8L, tsPayload.length.toLong,
-            fnv1a(tsPayload), tsPayload),
+            fnv1a(tsPayload), urlMin, urlMax, tsPayload),
           bin("html", htmls),
           bin("text", texts),
           bin("lang", langs)

@@ -291,6 +291,101 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(hits(("d2", "zz")).first_pos == None)
   }
 
+  test("lookupUrls / decodeUrlPrefix: point reads decode only range-covering chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = tmpDir("lookup")
+    val pages = PagesGen.generate(spark, 300, partitions = 4)
+    EncodeJob.run(spark, pages, out, EncodeConfig(numPartitions = 4, chunkRows = 8))
+    val all = pages.collect()
+
+    // point lookup: exact pages back, bit-identical
+    val wanted = Seq(all(7), all(123), all(250))
+    val got = DecodeJob.lookupUrls(spark, out, wanted.map(_.url)).collect()
+      .map(p => p.url -> p).toMap
+    assert(got.size == 3)
+    wanted.foreach { p =>
+      val d = got(p.url)
+      assert(d.text == p.text && d.lang == p.lang && d.warc_ts == p.warc_ts)
+      assert(java.util.Arrays.equals(d.html, p.html))
+    }
+    // absent url: no row, no error
+    assert(DecodeJob.lookupUrls(spark, out, Seq("https://nope.example/x")).count() == 0)
+    assert(DecodeJob.lookupUrls(spark, out, Seq.empty).count() == 0)
+
+    // the chunk filter really prunes: chunk url ranges are disjoint within
+    // a part, so a url's range test matches at most one chunk per part —
+    // 3 urls x 4 parts bounds the match at 12 of the ~40 groups
+    val chunks = spark.read.parquet(EncodeJob.chunksPath(out))
+    val totalGroups = chunks.select("part_id", "chunk_id").distinct().count()
+    val pred = wanted.map(p => col("url_min") <= p.url && col("url_max") >= p.url)
+      .reduce(_ || _)
+    val matchedGroups = chunks.filter(pred).select("part_id", "chunk_id").distinct().count()
+    assert(totalGroups >= 35, s"want many chunks for a meaningful test, got $totalGroups")
+    assert(matchedGroups <= 12, s"pruning failed: $matchedGroups of $totalGroups chunks matched")
+
+    // prefix read: one host's slice, compared against the full decode
+    val prefix = "https://host3."
+    val viaPrefix = DecodeJob.decodeUrlPrefix(spark, out, prefix).collect().map(_.url).sorted
+    val expected = all.filter(_.url.startsWith(prefix)).map(_.url).sorted
+    assert(viaPrefix.toSeq == expected.toSeq && expected.nonEmpty)
+
+    // range read: [lo, hi) in UTF-8 byte order
+    val sortedUrls = all.map(_.url).sorted
+    val (lo, hi) = (sortedUrls(50), sortedUrls(80))
+    val viaRange = DecodeJob.decodeUrlRange(spark, out, lo, hi).collect().map(_.url).sorted
+    assert(viaRange.toSeq == sortedUrls.slice(50, 80).toSeq)
+  }
+
+  test("append: delta becomes new chunks only; union decodes; re-append is a no-op") {
+    import spark.implicits._
+    val out = tmpDir("append")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 32)
+    val base = PagesGen.generate(spark, 150, partitions = 4)
+    EncodeJob.run(spark, base, out, cfg)
+
+    def chunkHashes(): Map[(Int, Int, String), Long] =
+      spark.read.parquet(EncodeJob.chunksPath(out))
+        .select("part_id", "chunk_id", "col_name", "payload_hash").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    val baseChunks = chunkHashes()
+
+    // a disjoint delta (docIds 150..199 => urls disjoint from the base)
+    val all200 = PagesGen.generate(spark, 200, partitions = 4).collect()
+    val delta = spark.createDataset(all200.drop(150).toIndexedSeq)
+    val rep1 = EncodeJob.append(spark, delta, out, cfg).collect()
+    assert(rep1.nonEmpty && rep1.forall(_.status == "done"))
+
+    val afterAppend = chunkHashes()
+    // every original chunk file is untouched, byte-for-byte
+    baseChunks.foreach { case (k, h) =>
+      assert(afterAppend(k) == h, s"append modified existing chunk $k")
+    }
+    assert(afterAppend.size > baseChunks.size, "append must add new chunks")
+
+    // the union decodes bit-identically
+    val union = base.collect() ++ delta.collect()
+    val report = VerifyJob.run(spark, spark.createDataset(union.toIndexedSeq), out)
+    assert(report.rows_decoded == 200 && report.mismatched_rows == 0 &&
+      report.except_violations == 0, report)
+
+    // re-appending the same delta is a no-op: no rows survive dedup,
+    // no chunks added, no lineage rows added
+    val rep2 = EncodeJob.append(spark, delta, out, cfg).collect()
+    assert(rep2.isEmpty, "identical re-append must encode nothing")
+    assert(chunkHashes() == afterAppend, "re-append must not touch chunk files")
+
+    // an overlapping delta (docIds 180..219: 20 already stored, 20 new)
+    val all220 = PagesGen.generate(spark, 220, partitions = 4).collect()
+    val overlap = spark.createDataset(all220.drop(180).toIndexedSeq)
+    val rep3 = EncodeJob.append(spark, overlap, out, cfg).collect()
+    assert(rep3.map(_.n_rows).sum == 20, s"only the 20 new urls may encode: ${rep3.toSeq}")
+    val union2 = union ++ all220.drop(200)
+    val report2 = VerifyJob.run(spark, spark.createDataset(union2.toIndexedSeq), out)
+    assert(report2.rows_decoded == 220 && report2.mismatched_rows == 0 &&
+      report2.except_violations == 0, report2)
+  }
+
   test("decodeColumn provides the column-pruned read path") {
     import spark.implicits._
     val out = tmpDir("colprune")
