@@ -71,53 +71,49 @@ object Dedup {
     *     explode the in-bucket pairs.
     */
   private[pipeline] def cappedBucketPairs(
-      banded: DataFrame,
+      banded0: DataFrame,
       maxBucket: Int,
       onDrop: DropReport => Unit
   ): DataFrame = {
-    val spark = banded.sparkSession
+    val spark = banded0.sparkSession
     import spark.implicits._
-    val sizes = autoPersist(
-      banded.groupBy($"band", $"bucket")
-        .agg(count(lit(1)).as("n"))
-        .as[(Int, Long, Long)]
-    ).toDF("band", "bucket", "n")
-
-    // tier 1: in-cap buckets pair directly (salt 0 — disjoint from tier 2,
-    // whose source buckets all have n > maxBucket)
-    val keep = sizes.filter($"n" >= 2 && $"n" <= maxBucket).select($"band", $"bucket")
-    val keepRows = banded.join(keep, Seq("band", "bucket"))
-      .select($"band", $"bucket", lit(0L).as("salt"), $"id")
-
-    // tier 2: oversized buckets -> band-dependent salt split. Short-circuit
-    // when nothing is oversized (the common, clean-corpus case): the split
-    // machinery's extra aggregations and joins then never enter the plan.
-    val over = sizes.filter($"n" > maxBucket)
-    val split = over
-      .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
-      .as[(Long, Long)].head()
     val mb = maxBucket.toLong
-    val (splitKept, dropped) = if (split._1 == 0L) (None, (0L, 0L)) else {
-      val splitRows = banded.join(over, Seq("band", "bucket"))
+
+    // the banding flatMap runs ONCE: every later stage reads this persisted
+    // table, not a re-derivation from the signature table (at corpus scale
+    // each extra pass was a full signature-table read)
+    val banded = autoPersist(banded0.as[(Int, Long, Long)]).toDF("band", "bucket", "id")
+    val sizes = banded.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n"))
+
+    // one pass annotates every member with its bucket size and sub-bucket
+    // salt (0 for in-cap buckets; band-dependent split salt for oversized
+    // ones) — the former keep-join and split-join folded into one join
+    val bandedN = autoPersist(
+      banded.join(sizes.filter($"n" >= 2), Seq("band", "bucket"))
         .select($"band", $"bucket", $"id", $"n").as[(Int, Long, Long, Long)]
         .map { case (band, bucket, id, n) =>
-          val s = (n + mb - 1) / mb
-          (band, bucket, subBucketSalt(id, band, s), id)
-        }.toDF("band", "bucket", "salt", "id")
-      val subSizes = autoPersist(
-        splitRows.groupBy($"band", $"bucket", $"salt")
-          .agg(count(lit(1)).as("n"))
-          .as[(Int, Long, Long, Long)]
-      ).toDF("band", "bucket", "salt", "n")
-      val d = subSizes.filter($"n" > 2 * mb)
-        .agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
-        .as[(Long, Long)].head()
-      val keepSub = subSizes.filter($"n" >= 2 && $"n" <= 2 * mb)
-        .select($"band", $"bucket", $"salt")
-      (Some(splitRows.join(keepSub, Seq("band", "bucket", "salt"))), d)
-    }
+          val salt = if (n <= mb) 0L else subBucketSalt(id, band, (n + mb - 1) / mb)
+          (band, bucket, salt, id, n)
+        }
+    ).toDF("band", "bucket", "salt", "id", "n")
 
-    val report = DropReport(dropped._1, dropped._2, split._1, split._2)
+    val subSizes = autoPersist(
+      bandedN.groupBy($"band", $"bucket", $"salt")
+        .agg(count(lit(1)).as("m"), max($"n").as("n"))
+        .as[(Int, Long, Long, Long, Long)]
+    ).toDF("band", "bucket", "salt", "m", "n")
+
+    // split + drop statistics in ONE action (the former two serialized
+    // head()s): sub-bucket sizes of an oversized bucket sum back to n
+    val (splitBuckets, splitRows, droppedBuckets, droppedRows) = subSizes.agg(
+      coalesce(countDistinct(when($"n" > mb, struct($"band", $"bucket"))), lit(0L)),
+      coalesce(sum(when($"n" > mb, $"m")), lit(0L)),
+      coalesce(count(when($"n" > mb && $"m" > 2 * mb, lit(1))), lit(0L)),
+      coalesce(sum(when($"n" > mb && $"m" > 2 * mb, $"m")), lit(0L))
+    ).as[(Long, Long, Long, Long)].head()
+
+    val report = DropReport(droppedBuckets, droppedRows, splitBuckets, splitRows)
     if (report.splitBuckets > 0)
       log.info(s"bucket cap $maxBucket salt-split ${report.splitBuckets} buckets " +
         s"(${report.splitRows} member rows) into <= ~$maxBucket-member sub-buckets; " +
@@ -127,7 +123,14 @@ object Dedup {
         s"sub-buckets (${report.droppedRows} member rows); pairs inside them are NOT covered")
     onDrop(report)
 
-    splitKept.fold(keepRows)(keepRows.union(_))
+    // size gate BEFORE any member list is collected: only sub-buckets with
+    // 2..2*maxBucket members (or whole in-cap buckets) reach collect_list.
+    // The join key equals the groupBy key, so no extra exchange appears
+    // between them.
+    val keepSub = subSizes
+      .filter($"m" >= 2 && ($"n" <= mb || $"m" <= 2 * mb))
+      .select($"band", $"bucket", $"salt")
+    bandedN.join(keepSub, Seq("band", "bucket", "salt"))
       .groupBy($"band", $"bucket", $"salt")
       .agg(sort_array(collect_list($"id")).as("ids"))
       .select(explode(expr(
