@@ -435,6 +435,23 @@ object SparkEntry {
               |""".stripMargin)
         .orderBy(col("doc_id"), col("pattern"), col("pos"))
     },
+    // the same locate surface on MULTIBYTE text: positions are 1-based BYTE
+    // offsets (the reference operates on packed bytes). UTF-8 is
+    // self-synchronizing, so a byte-level match of a multibyte pattern is
+    // always char-aligned and the char-scan oracle enumerates the same
+    // occurrence set; pos is mapped through octet_length of the char prefix.
+    // Text is made multibyte deterministically in-query (the harness
+    // documents are ASCII even for zh rows).
+    "q46_sql_fm_locate_multibyte" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, pattern,
+              |       explode(graft_fm_locate(
+              |         replace(replace(text, 'data', '数据'), 'the', 'дие'), pattern)) AS pos
+              |FROM documents, (SELECT explode(array('数据', 'дие')) AS pattern)
+              |""".stripMargin)
+        .orderBy(col("doc_id"), col("pattern"), col("pos"))
+    },
 
     // --- the 100 TB use case end to end: curation pipeline composing
     // exact dedup -> quality gate -> language filter over the documents
@@ -810,6 +827,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(substr(s.text, 1, CAST(s.i AS INT)))) + 1 AS BIGINT) AS pos
         |FROM pos0 s CROSS JOIN pats p
         |WHERE substr(s.text, CAST(s.i + 1 AS INT), length(p.pattern)) = p.pattern""".stripMargin,
+    "q46_sql_fm_locate_multibyte" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(replace(text, 'data', '数据'), 'the', 'дие') AS mtext
+        |  FROM documents
+        |),
+        |pos0 AS (
+        |  SELECT doc_id, mtext, unnest(range(length(mtext))) AS i FROM d
+        |),
+        |pats AS (SELECT * FROM (VALUES ('数据'), ('дие')) p(pattern))
+        |SELECT s.doc_id, p.pattern,
+        |  CAST(octet_length(encode(substr(s.mtext, 1, CAST(s.i AS INT)))) + 1 AS BIGINT) AS pos
+        |FROM pos0 s CROSS JOIN pats p
+        |WHERE substr(s.mtext, CAST(s.i + 1 AS INT), length(p.pattern)) = p.pattern""".stripMargin,
     "q33_streaming_encode" -> identityTextOracle,
     "q37_curation_pipeline" -> {
       // reuse the verified lang-id oracle as a CTE (strip its WITH prefix)
