@@ -357,27 +357,40 @@ object SparkEntry {
 
     // --- full multimodal curation path: synth media (40 distinct
     // deterministic payloads, group = doc_id % 40) -> extractFeatures
-    // (real BMP/WAV parse + stub embedder) -> embedding-cosine near-dup.
-    // Identical payloads embed identically (cos = 1.0); the 40 distinct
-    // stub embeddings have max pairwise cosine 0.6495 (measured — fixed
-    // for every SF since payloads depend only on the group), so tau = 0.8
-    // cleanly separates: expected pairs == same-group pairs, which is the
-    // SQL oracle. The embedder stays a declared seam (Multimodal.decodeStub).
+    // (real BMP/WAV parse + CONTENT featurizer) -> embedding-cosine
+    // near-dup. Each group's payload carries a distinct two-hot content
+    // pattern (two bright pixel blocks / two loud audio windows; block and
+    // window index-pair families are disjoint across modalities), so
+    // identical payloads embed identically (cos = 1.0) while any two
+    // different groups share at most one hot index — measured max
+    // cross-group cosine 0.5381 (PipelineSpec pins the gap; payloads
+    // depend only on the group, so it is SF-independent). tau = 0.8
+    // separates: expected pairs == same-group pairs, the SQL oracle.
     "q41_media_neardup" -> { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select($"doc_id").as[Long].map { id =>
-        val g = id % 40
-        val payload =
-          if (g % 2 == 0)
-            graft.pipeline.Multimodal.synthBmp((g % 32 + 8).toInt, (g % 24 + 8).toInt, seed = g)
-          else
-            graft.pipeline.Multimodal.synthWav((g % 3 + 1).toInt, 8000, 500 + g, seed = g)
-        (id, payload)
+        (id, q41Payload(id % 40))
       }
       val vecs = graft.pipeline.Multimodal.extractFeatures(s, media)
         .map(f => (f.key, f.embedding))
       Similarity.embeddingNearDup(s, vecs, threshold = 0.8, numBlocks = 4)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // --- the content featurizer itself, numerically: payload pixel /
+    // sample values are closed-form in (doc_id, position), so the oracle
+    // recomputes every embedding dimension in SQL — exact integer block
+    // sums / window energies, one final division, float32 cast on both
+    // sides. This pins contentEmbedding's actual numbers (parse offsets,
+    // row padding, LE samples, block geometry), not just its topology.
+    "q47_media_embedding" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select($"doc_id").as[Long].map(id => (id, q47Payload(id)))
+      graft.pipeline.Multimodal.extractFeatures(s, media)
+        .flatMap(f => f.embedding.iterator.zipWithIndex.map { case (v, d) =>
+          (f.key, d.toLong, v.toDouble)
+        })
+        .toDF("doc_id", "dim", "val")
     },
 
     // --- persisted FM-index table: build once, search from the stored
@@ -622,6 +635,87 @@ object SparkEntry {
   private def hashDocId(url: String): Long =
     url.substring(url.lastIndexOf('/') + 1).toLong
 
+  /** q41's per-group media payload: a two-hot content pattern the content
+    * featurizer maps to near-orthogonal embeddings. Even groups: 16x16 BMP
+    * with two bright 4x4 pixel blocks; odd groups: 16-window WAV with two
+    * loud windows. The hot-index PAIR is unique per group, and the pair
+    * families are disjoint across modalities (index gaps 1/2 for BMP vs
+    * 3/5 for WAV), so two different groups share at most one hot index —
+    * bounding their cosine well below the tau = 0.8 gate (measured max
+    * 0.5381, PipelineSpec).
+    */
+  private[graft] def q41Payload(g: Long): Array[Byte] = {
+    val p = (g / 2).toInt // 0..19 within the modality
+    if (g % 2 == 0) {
+      val (t1, t2) = if (p < 16) (p, (p + 1) % 16) else (p - 16, p - 14)
+      val b = graft.pipeline.Multimodal.synthBmp(16, 16)
+      var r = 0
+      while (r < 16) {
+        var x = 0
+        while (x < 16) {
+          val blk = (r / 4) * 4 + x / 4
+          val v: Byte = if (blk == t1 || blk == t2) 230.toByte else 8.toByte
+          var c = 0
+          while (c < 3) { b(54 + r * 48 + x * 3 + c) = v; c += 1 }
+          x += 1
+        }
+        r += 1
+      }
+      b
+    } else {
+      val (t1, t2) = if (p < 16) (p, (p + 3) % 16) else (p - 16, p - 11)
+      val b = graft.pipeline.Multimodal.synthWav(1, 8000, 160)
+      var i = 0
+      while (i < 160) {
+        val w = i / 10
+        val amp = if (w == t1 || w == t2) 9000 else 300
+        val v = if (i % 2 == 0) amp else -amp
+        b(44 + 2 * i) = (v & 0xFF).toByte
+        b(44 + 2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      b
+    }
+  }
+
+  /** q47's per-doc media payload: pixel/sample values are closed-form
+    * functions of (doc_id, position), so DuckDB can recompute the
+    * featurizer's block sums / window energies EXACTLY (integer sums, one
+    * final division — see the q47 oracle).
+    */
+  private[graft] def q47Payload(id: Long): Array[Byte] = {
+    if (id % 2 == 0) {
+      val a = (id % 7 + 1).toInt
+      val b0 = (id % 5 + 3).toInt
+      val b = graft.pipeline.Multimodal.synthBmp(16, 16)
+      var r = 0
+      while (r < 16) {
+        var x = 0
+        while (x < 16) {
+          var c = 0
+          while (c < 3) {
+            b(54 + r * 48 + x * 3 + c) = ((x * a + r * b0 + c) % 256).toByte
+            c += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+      b
+    } else {
+      val k = (id % 13 + 1).toInt
+      val b = graft.pipeline.Multimodal.synthWav(1, 8000, 160)
+      var i = 0
+      while (i < 160) {
+        val v = ((i * k) % 128 - 64) * 500
+        b(44 + 2 * i) = (v & 0xFF).toByte
+        b(44 + 2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      b
+    }
+  }
+
   // Bwt payload helper for q01 (sentinelPos + data)
   private def serializeBwt(b: Bwt): Array[Byte] = {
     val buf = new Bytes.Buf(b.data.length + 5)
@@ -747,6 +841,27 @@ object SparkEntry {
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40""".stripMargin,
+    "q47_media_embedding" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |bmp AS (
+        |  SELECT i.doc_id,
+        |         CAST((r.r // 4) * 4 + (x.x // 4) AS BIGINT) AS dim,
+        |         SUM((x.x * (i.doc_id % 7 + 1) + r.r * (i.doc_id % 5 + 3) + c.c) % 256) AS s
+        |  FROM ids i, range(16) r(r), range(16) x(x), range(3) c(c)
+        |  WHERE i.doc_id % 2 = 0
+        |  GROUP BY 1, 2
+        |),
+        |wav AS (
+        |  SELECT i.doc_id,
+        |         CAST(t.i // 10 AS BIGINT) AS dim,
+        |         SUM(ABS((t.i * (i.doc_id % 13 + 1)) % 128 - 64) * 500) AS s
+        |  FROM ids i, range(160) t(i)
+        |  WHERE i.doc_id % 2 = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, dim, CAST(CAST(s / (48.0 * 255.0) AS FLOAT) AS DOUBLE) AS val FROM bmp
+        |UNION ALL
+        |SELECT doc_id, dim, CAST(CAST(s / (10.0 * 32768.0) AS FLOAT) AS DOUBLE) AS val FROM wav""".stripMargin,
     "q28_fm_index_persisted" ->
       """SELECT doc_id,
         |       CAST((length(text) - length(replace(text, 'en', ''))) / 2 AS BIGINT) AS cnt_en

@@ -9,11 +9,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Self-contained formats are decoded for REAL: BMP headers (magic, pixel
   * dimensions, bit depth from the actual bytes) and WAV PCM (channels,
-  * sample rate, sample count -> duration). Only the *embedding* stage
-  * remains a stub (this container ships no ML image/audio models);
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * bytes, so the pipeline shape is exercised end to end and swapping in a
-  * real embedder is a one-function change.
+  * sample rate, sample count -> duration). The embedding stage is a REAL
+  * content featurizer over the parsed payloads (`contentEmbedding`: BMP
+  * block-mean intensities, WAV per-window energies, byte histogram
+  * otherwise — exact integer sums, oracle-checked numerically by q47).
+  * It is also the declared seam where a LEARNED image/audio encoder would
+  * plug in — no ML runtime ships in this container, so the learned model
+  * itself is the one absent piece; everything around it (schema,
+  * partitioning, batch shape, parse, feature math) is real and tested.
   */
 object Multimodal {
 
@@ -25,7 +28,7 @@ object Multimodal {
       width: Option[Int], // real parsed dims (BMP), None otherwise
       height: Option[Int],
       duration_us: Option[Long], // real parsed duration (WAV), None otherwise
-      embedding: Array[Float] // stub feature vector (dim fixed)
+      embedding: Array[Float] // content features (contentEmbedding, dim fixed)
   )
 
   final val FrameStride = 4096
@@ -249,21 +252,83 @@ object Multimodal {
     }
   }
 
-  /** STUB embedder: a real implementation would hand `bytes` to a model;
-    * this derives deterministic pseudo-features so the pipeline shape is
-    * exercised end to end with stable outputs.
+  /** REAL content featurizer over the parsed payload (EmbeddingDim = 16):
+    *  - 24-bit BMP: 4x4 grid of block-mean pixel intensities — pixels are
+    *    read from the actual (stored-row-order, padded) pixel array; block
+    *    of stored row r / column x is (r*4/h, x*4/w); value = mean of the
+    *    block's channel bytes / 255;
+    *  - 16-bit WAV PCM: 16 equal time windows over the interleaved sample
+    *    stream; value = mean |sample| of the window / 32768 (per-window
+    *    energy);
+    *  - anything else: high-nibble byte histogram, normalized.
+    * All sums are exact integer arithmetic with ONE final division, so the
+    * float32 outputs are bit-reproducible in SQL — q47 pins them against a
+    * DuckDB recomputation. This function is also the declared seam for a
+    * learned encoder: swap the body for a model call and the surrounding
+    * pipeline (schema, batching, near-dup tiers) is unchanged.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    var h = 0xBEEFL
-    var i = 0
-    while (i < bytes.length) { h = mix(h ^ (bytes(i) & 0xFFL)); i += math.max(1, bytes.length / 64) }
-    val width = 64 + (Math.floorMod(h, 193L)).toInt
-    val height = 64 + (Math.floorMod(mix(h), 131L)).toInt
+  def contentEmbedding(bytes: Array[Byte]): Array[Float] = {
     val emb = new Array[Float](EmbeddingDim)
-    var d = 0
-    var z = h
-    while (d < EmbeddingDim) { z = mix(z); emb(d) = (z >> 40).toFloat / (1 << 23); d += 1 }
-    (width, height, emb)
+    val bmp = decodeBmp(bytes)
+    bmp match {
+      case Some(info) if info.bitsPerPixel == 24 =>
+        val rowSize = ((info.width * 24 + 31) / 32) * 4
+        val off = le32(bytes, 10)
+        val sums = new Array[Long](EmbeddingDim)
+        val cnts = new Array[Long](EmbeddingDim)
+        var r = 0
+        while (r < info.height) {
+          val byBase = (r * 4 / info.height) * 4
+          var x = 0
+          while (x < info.width) {
+            val d = byBase + x * 4 / info.width
+            val p = off + r * rowSize + x * 3
+            sums(d) += (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
+            cnts(d) += 3
+            x += 1
+          }
+          r += 1
+        }
+        var d = 0
+        while (d < EmbeddingDim) {
+          if (cnts(d) > 0) emb(d) = (sums(d).toDouble / (cnts(d).toDouble * 255.0)).toFloat
+          d += 1
+        }
+      case _ =>
+        decodeWav(bytes) match {
+          case Some(w) if w.bitsPerSample == 16 && w.nSamples > 0 =>
+            val data = findWavData(bytes)
+            val nVals = w.nSamples * w.channels // int16 values present (clamped)
+            val sums = new Array[Long](EmbeddingDim)
+            val cnts = new Array[Long](EmbeddingDim)
+            var i = 0L
+            while (i < nVals) {
+              val p = data + (i * 2).toInt
+              val v = ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort.toInt
+              val d = (i * EmbeddingDim / nVals).toInt
+              sums(d) += math.abs(v)
+              cnts(d) += 1
+              i += 1
+            }
+            var d = 0
+            while (d < EmbeddingDim) {
+              if (cnts(d) > 0) emb(d) = (sums(d).toDouble / (cnts(d).toDouble * 32768.0)).toFloat
+              d += 1
+            }
+          case _ =>
+            if (bytes.length > 0) {
+              val counts = new Array[Long](EmbeddingDim)
+              var i = 0
+              while (i < bytes.length) { counts((bytes(i) & 0xFF) >>> 4) += 1; i += 1 }
+              var d = 0
+              while (d < EmbeddingDim) {
+                emb(d) = (counts(d).toDouble / bytes.length.toDouble).toFloat
+                d += 1
+              }
+            }
+        }
+    }
+    emb
   }
 
   /** Frame sampling: one "frame" every FrameStride bytes. */
@@ -278,7 +343,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { case (key, bytes) =>
-        val (_, _, emb) = decodeStub(bytes)
+        val emb = contentEmbedding(bytes)
         val nFrames = frameCount(bytes.length.toLong)
         decodeBmp(bytes) match {
           case Some(bmp) =>

@@ -57,12 +57,14 @@ class TextCompressionSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub features are deterministic with the declared shape") {
+  test("multimodal content features are deterministic with the declared shape") {
     val bytes = "some media payload".getBytes(UTF_8)
-    val (w1, h1, e1) = graft.pipeline.Multimodal.decodeStub(bytes)
-    val (w2, h2, e2) = graft.pipeline.Multimodal.decodeStub(bytes)
-    assert(w1 == w2 && h1 == h2 && e1.toSeq == e2.toSeq)
+    val e1 = graft.pipeline.Multimodal.contentEmbedding(bytes)
+    val e2 = graft.pipeline.Multimodal.contentEmbedding(bytes)
+    assert(e1.toSeq == e2.toSeq)
     assert(e1.length == graft.pipeline.Multimodal.EmbeddingDim)
+    // non-media fallback: a normalized high-nibble histogram of the bytes
+    assert(math.abs(e1.sum - 1.0f) < 1e-5f)
     assert(graft.pipeline.Multimodal.frameCount(0) == 1)
     assert(graft.pipeline.Multimodal.frameCount(4096) == 2)
   }

@@ -319,6 +319,22 @@ class PipelineSpec extends AnyFunSuite {
     val ti = Multimodal.decodeWav(truncBytes).get
     assert(ti.nSamples == 12345L - 250 && Multimodal.sampleWav(truncBytes, 4).isDefined)
     assert(Multimodal.sampleWav(patch32(wav, 40, 0xFFFFFFF8L), 4).isDefined)
+    // content featurizer: the q41 payload family must separate — identical
+    // groups embed identically (same bytes), different groups stay well
+    // below the tau=0.8 near-dup gate (two-hot patterns share <= 1 index)
+    val groupEmb = (0L until 40L).map(g =>
+      g -> Multimodal.contentEmbedding(graft.SparkEntry.q41Payload(g))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val crossCos = for (a <- 0L until 40L; b <- (a + 1) until 40L)
+      yield cos(groupEmb(a), groupEmb(b))
+    val maxCross = crossCos.max
+    assert(maxCross < 0.7, s"q41 group separation broke: max cross-group cosine $maxCross")
+    info(f"q41 max cross-group cosine: $maxCross%.4f (tau = 0.8)")
+
     // extractFeatures sniffs kinds end to end
     import TestSpark.spark.implicits._
     val ds = TestSpark.spark.createDataset(Seq(
