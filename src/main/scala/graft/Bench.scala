@@ -116,9 +116,14 @@ object Bench {
   )
 
   def pagesFor(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 40000L
-    else if (sfDir.contains("sf0.01")) 8000L
-    else 2000L
+    // SPARK_GRAFT_PAGES overrides the pages-table size (e.g. 640000 = the
+    // 5.88 GB soak corpus) so the encode/decode rows can be measured at a
+    // scale where fixed job overhead stops dominating — the documents/
+    // embeddings queries still run at the SF dir's own size
+    sys.env.get("SPARK_GRAFT_PAGES").map(_.toLong).getOrElse(
+      if (sfDir.contains("sf0.1")) 40000L
+      else if (sfDir.contains("sf0.01")) 8000L
+      else 2000L)
 
   private def benchDir(name: String): String =
     s"/root/repo/target/bench/$name"
