@@ -226,8 +226,10 @@ object InduceAb {
     def bytesOf(ids: Range): Array[Array[Byte]] = ids.map(i => prodDoc(i.toLong, 2000)).toArray
     val docs = bytesOf(0 until 300)
     val mono = {
-      val all = docs.flatten
-      java.util.Arrays.copyOf(all, math.min(all.length, 8 << 20))
+      // a genuinely cache-exceeding input (the regime where hiding the
+      // random sp(p-1) load latency could pay)
+      val all = bytesOf(0 until 2500).flatten
+      java.util.Arrays.copyOf(all, math.min(all.length, 10 << 20))
     }
     def time(reps: Int)(f: => Unit): Double = {
       var best = Double.MaxValue
