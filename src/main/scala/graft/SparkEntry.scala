@@ -613,10 +613,11 @@ object SparkEntry {
       val pages = pagesFromDocs(s, dir)
       val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
       EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 3 != 2), outDir, cfg)
-      def hashes(): Map[(Int, Int, String), Long] = s.read.parquet(EncodeJob.chunksPath(outDir))
-        .select($"part_id", $"chunk_id", $"col_name", $"payload_hash")
-        .as[(Int, Int, String, Long)].collect()
-        .map { case (p, c, n, h) => (p, c, n) -> h }.toMap
+      def hashes(): Map[(Int, Int), Seq[Long]] = s.read.parquet(EncodeJob.chunksPath(outDir))
+        .select($"part_id", $"chunk_id", $"url.payload_hash", $"warc_ts.payload_hash",
+          $"html.payload_hash", $"text.payload_hash", $"lang.payload_hash")
+        .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+        .map { case (p, c, h1, h2, h3, h4, h5) => (p, c) -> Seq(h1, h2, h3, h4, h5) }.toMap
       val before = hashes()
       val delta = pages.filter(p => hashDocId(p.url) % 3 == 2)
       EncodeJob.append(s, delta, outDir, cfg)

@@ -10,12 +10,14 @@ import graft.codec.ColumnCodec
   * bit-identical (the BASELINE.json:15 invariant is checked by
   * [[VerifyJob]] on top of this).
   *
-  * Plan shape: one shuffle (groupByKey on (part_id, chunk_id) — the data
-  * moved is the *compressed* payload, ~raw/ratio bytes), then a narrow
-  * decode kernel. Column pruning applies when a caller selects fewer
-  * columns *before* materializing rows; per-column decode is available via
-  * [[decodeColumn]] for that path (only the requested column's chunks are
-  * scanned — Parquet predicate/column pushdown keeps the scan minimal).
+  * Plan shape: NO exchange at all. A chunk row is self-contained (all five
+  * column payloads in nested columns), so decode is a pure narrow map over
+  * the scan — each task decodes the rows of the files it reads. A
+  * row-per-column layout would need a shuffle of every compressed payload
+  * to regroup chunks (at 100 TB: the entire compressed corpus through the
+  * shuffle fabric); this layout removes it by construction. Column-pruned
+  * reads stay available through parquet nested-schema pruning
+  * ([[decodeColumn]] reads only the requested payload leaf).
   *
   * Point/range reads — "give me url X" / "give me host Y's pages", the most
   * common patterns an encoded-pages table serves — go through
@@ -32,10 +34,24 @@ object DecodeJob {
   def run(spark: SparkSession, outDir: String): Dataset[Page] =
     decodeChunksWhere(spark, outDir, lit(true))
 
+  /** Decode one self-contained chunk row into its pages. */
+  private def decodeRow(c: EncodedChunk): Iterator[Page] = {
+    val urls = ColumnCodec.decodeBinary(c.url.payload)
+    val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
+    val htmls = ColumnCodec.decodeBinaryNullable(c.html.payload)
+    val texts = ColumnCodec.decodeBinaryNullable(c.text.payload)
+    val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
+    def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
+    urls.indices.iterator.map { i =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
+      Page(new String(urls(i), UTF_8), ts, htmls(i), ns(texts(i)), ns(langs(i)))
+    }
+  }
+
   /** Decode only the chunks passing `chunkPred` (a predicate over the
     * chunk METADATA columns `part_id`/`chunk_id`/`url_min`/`url_max` —
-    * never the payload). All five column rows of a chunk share identical
-    * metadata, so any such predicate keeps chunk groups intact.
+    * never the payloads).
     */
   private def decodeChunksWhere(
       spark: SparkSession,
@@ -46,27 +62,7 @@ object DecodeJob {
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
       .as[EncodedChunk]
-      .groupByKey(c => (c.part_id, c.chunk_id))
-      .flatMapGroups { (_: (Int, Int), chunks: Iterator[EncodedChunk]) =>
-        val byCol = chunks.map(c => c.col_name -> c.payload).toMap
-        val urls = ColumnCodec.decodeBinary(byCol("url"))
-        val tss = ColumnCodec.decodeLong(byCol("warc_ts"))
-        val htmls = ColumnCodec.decodeBinaryNullable(byCol("html"))
-        val texts = ColumnCodec.decodeBinaryNullable(byCol("text"))
-        val langs = ColumnCodec.decodeBinaryNullable(byCol("lang"))
-        def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
-        urls.indices.iterator.map { i =>
-          val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
-          ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
-          Page(
-            new String(urls(i), UTF_8),
-            ts,
-            htmls(i),
-            ns(texts(i)),
-            ns(langs(i))
-          )
-        }
-      }
+      .mapPartitions(_.flatMap(decodeRow))
   }
 
   /** Point lookup: the pages for exactly these urls (absent urls simply
@@ -135,16 +131,17 @@ object DecodeJob {
       .filter(p => p.url.startsWith(prefix))
 
   /** Decode a single column (positional within (part_id, chunk_id)) —
-    * the column-pruned read path.
+    * the column-pruned read path: parquet nested-schema pruning reads only
+    * the `<colName>.payload` leaf, never the other four payload columns.
     */
   def decodeColumn(spark: SparkSession, outDir: String, colName: String): Dataset[(Int, Int, Int, Array[Byte])] = {
     import spark.implicits._
     spark.read.parquet(EncodeJob.chunksPath(outDir))
-      .filter($"col_name" === colName)
-      .as[EncodedChunk]
-      .flatMap { c =>
-        ColumnCodec.decodeBinaryNullable(c.payload).iterator.zipWithIndex.map { case (v, i) =>
-          (c.part_id, c.chunk_id, i, v)
+      .select($"part_id", $"chunk_id", col(s"$colName.payload").as("payload"))
+      .as[(Int, Int, Array[Byte])]
+      .flatMap { case (pid, cid, payload) =>
+        ColumnCodec.decodeBinaryNullable(payload).iterator.zipWithIndex.map { case (v, i) =>
+          (pid, cid, i, v)
         }
       }
   }

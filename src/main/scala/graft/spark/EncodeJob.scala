@@ -6,24 +6,46 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.codec.ColumnCodec
 
-/** One encoded column chunk: the unit of the encoded-chunks table.
-  * `payload` is self-describing (ColumnCodec id byte first).
+/** One column's encoded payload within a chunk row. `payload` is
+  * self-describing (ColumnCodec id byte first); `payload_hash` is FNV-1a,
+  * computed in-kernel so lineage aggregation never re-scans payload bytes.
+  */
+final case class ColChunk(
+    codec: String,
+    bytes_in: Long,
+    bytes_out: Long,
+    payload_hash: Long,
+    payload: Array[Byte]
+)
+
+/** One encoded chunk: a url-sorted row slice with ALL FIVE column payloads
+  * in one self-contained row. This layout is what makes decode a pure
+  * narrow map — no exchange anywhere: a task decodes each row it scans
+  * (contrast a row-per-column layout, which must shuffle the compressed
+  * payloads to regroup a chunk's columns — at 100 TB that shuffle moves
+  * the entire compressed corpus). Column reads stay pruned because the
+  * payloads are separate (nested) parquet columns: selecting
+  * `text.payload` reads only that leaf.
   */
 final case class EncodedChunk(
     part_id: Int,
     chunk_id: Int,
-    col_name: String,
-    codec: String,
     n_rows: Int,
-    bytes_in: Long,
-    bytes_out: Long,
-    payload_hash: Long, // FNV-1a of payload, computed in-kernel so lineage
-    // aggregation never has to re-scan payload bytes (column pruning)
     url_min: String, // first/last url of the chunk's (url-sorted) row slice:
     url_max: String, // point lookups and range decodes filter chunks on these
     // (pushed to parquet row-group stats) BEFORE touching any payload
-    payload: Array[Byte]
-)
+    url: ColChunk,
+    warc_ts: ColChunk,
+    html: ColChunk,
+    text: ColChunk,
+    lang: ColChunk
+) {
+  def columns: Seq[(String, ColChunk)] =
+    Seq("url" -> url, "warc_ts" -> warc_ts, "html" -> html, "text" -> text, "lang" -> lang)
+  def bytesIn: Long = columns.map(_._2.bytes_in).sum
+  def bytesOut: Long = columns.map(_._2.bytes_out).sum
+  def hashXor: Long = columns.map(_._2.payload_hash).foldLeft(0L)(_ ^ _)
+}
 
 /** Per-partition lineage record — the Iceberg-snapshot stand-in demanded by
   * the north rule (BASELINE.json:14: "resumable from checkpoint with
@@ -265,10 +287,10 @@ object EncodeJob {
     requireLayoutMatch(spark, outDir, cfg)
     val withPart = delta.withColumn("part_id", partIdCol(cfg))
 
-    // --- dedupe against the stored table via per-chunk url ranges
+    // --- dedupe against the stored table via per-chunk url ranges (nested
+    // pruning: only the url payload leaf is read, never html/text)
     val urlChunks = spark.read.parquet(chunksPath(outDir))
-      .filter($"col_name" === "url")
-      .select($"part_id", $"chunk_id", $"url_min", $"url_max", $"payload")
+      .select($"part_id", $"chunk_id", $"url_min", $"url_max", $"url.payload".as("payload"))
     val deltaKeys = withPart.select($"url".as("d_url"), $"part_id".as("d_part"))
     val candidateChunks = urlChunks.join(deltaKeys,
         urlChunks("part_id") === $"d_part" &&
@@ -333,11 +355,9 @@ object EncodeJob {
   private type PreRow = (String, java.sql.Timestamp, Array[Byte], Array[Byte], String)
 
   /** Container in BwtBin layout over pre-encoded values (+ null bitmap +
-    * Huffman wrap when they pay for themselves); one chunk row.
+    * Huffman wrap when they pay for themselves); one column of a chunk.
     */
-  private def containerizePre(
-      pid: Int, cid: Int, name: String, pre: Array[Array[Byte]],
-      urlMin: String, urlMax: String): EncodedChunk = {
+  private def containerizePre(pre: Array[Array[Byte]]): ColChunk = {
     import graft.codec.{Bytes, ColumnCodec}
     var rawBytes = 0L
     val bodies = new Array[Array[Byte]](pre.length)
@@ -393,18 +413,17 @@ object EncodeJob {
         out
       }
     }
-    EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-      pre.length, rawBytes, payload.length.toLong, fnv1a(payload),
-      urlMin, urlMax, payload)
+    ColChunk(ColumnCodec.codecName(payload), rawBytes, payload.length.toLong,
+      fnv1a(payload), payload)
   }
 
-  /** The 5 column chunks of one pre-encoded row slice. */
-  private def preEncodedChunkColumns(
+  /** One chunk row (all five column payloads) of a pre-encoded row slice. */
+  private def preEncodedChunkRow(
       pid: Int,
       cid: Int,
       chunk: scala.collection.Seq[PreRow],
       bwtBias: Double
-  ): Seq[EncodedChunk] = {
+  ): EncodedChunk = {
     val urls = chunk.map { r =>
       require(r._1 != null && r._2 != null, "null url/warc_ts")
       r._1.getBytes(UTF_8)
@@ -413,27 +432,21 @@ object EncodeJob {
       Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
     }.toArray
     val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
-    // chunk is a url-sorted slice, so its url range is (first, last); every
-    // column chunk of the slice carries the same range for pruned lookups
-    val urlMin = chunk.head._1
-    val urlMax = chunk.last._1
-    def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
+    def bin(values: Array[Array[Byte]]): ColChunk = {
       val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
-      EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-        values.length,
+      ColChunk(ColumnCodec.codecName(payload),
         values.map(v => if (v == null) 0L else v.length.toLong).sum,
-        payload.length.toLong, fnv1a(payload), urlMin, urlMax, payload)
+        payload.length.toLong, fnv1a(payload), payload)
     }
     val tsPayload = ColumnCodec.encodeLong(tss)
-    Seq(
-      bin("url", urls),
-      EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
-        tss.length, tss.length * 8L, tsPayload.length.toLong,
-        fnv1a(tsPayload), urlMin, urlMax, tsPayload),
-      containerizePre(pid, cid, "html", chunk.map(_._3).toArray, urlMin, urlMax),
-      containerizePre(pid, cid, "text", chunk.map(_._4).toArray, urlMin, urlMax),
-      bin("lang", langs)
-    )
+    // chunk is a url-sorted slice, so its url range is (first, last)
+    EncodedChunk(pid, cid, chunk.length, chunk.head._1, chunk.last._1,
+      url = bin(urls),
+      warc_ts = ColChunk(ColumnCodec.codecName(tsPayload), tss.length * 8L,
+        tsPayload.length.toLong, fnv1a(tsPayload), tsPayload),
+      html = containerizePre(chunk.map(_._3).toArray),
+      text = containerizePre(chunk.map(_._4).toArray),
+      lang = bin(langs))
   }
 
   /** Buffering kernel for the pre-encoded path (spillSafeSort = false):
@@ -454,17 +467,18 @@ object EncodeJob {
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
       val rows = sortByUrlUtf8(rows0)(_._1)
-      val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
-        preEncodedChunkColumns(pid, cid, chunk, bwtBias)
+      val partChunks = rows.grouped(chunkRows).zipWithIndex.map { case (chunk, cid) =>
+        preEncodedChunkRow(pid, cid, chunk, bwtBias)
       }.toVector
       onPartDone(LineageRecord(
         part_id = pid,
         n_rows = rows.length.toLong,
-        n_chunks = partChunks.map(_.chunk_id).distinct.length.toLong,
-        bytes_in = partChunks.map(_.bytes_in).sum,
-        bytes_out = partChunks.map(_.bytes_out).sum,
-        codecs = partChunks.map(c => s"${c.col_name}=${c.codec}").distinct.sorted.mkString(","),
-        payload_hash = partChunks.map(_.payload_hash).foldLeft(0L)(_ ^ _),
+        n_chunks = partChunks.length.toLong,
+        bytes_in = partChunks.map(_.bytesIn).sum,
+        bytes_out = partChunks.map(_.bytesOut).sum,
+        codecs = partChunks.flatMap(_.columns.map { case (n, c) => s"$n=${c.codec}" })
+          .distinct.sorted.mkString(","),
+        payload_hash = partChunks.map(_.hashXor).foldLeft(0L)(_ ^ _),
         status = "done"
       ))
       partChunks
@@ -496,17 +510,15 @@ object EncodeJob {
     private var pendingLineagePid = Int.MinValue
 
     private def flushChunk(): Seq[EncodedChunk] = {
-      val out = preEncodedChunkColumns(curPid, cid, buf, bwtBias)
+      val c = preEncodedChunkRow(curPid, cid, buf, bwtBias)
       cid += 1
       rows += buf.length
-      out.foreach { c =>
-        bytesIn += c.bytes_in
-        bytesOut += c.bytes_out
-        hash ^= c.payload_hash
-        codecs += s"${c.col_name}=${c.codec}"
-      }
+      bytesIn += c.bytesIn
+      bytesOut += c.bytesOut
+      hash ^= c.hashXor
+      c.columns.foreach { case (n, cc) => codecs += s"$n=${cc.codec}" }
       buf.clear()
-      out
+      Seq(c)
     }
 
     private def closePart(): Unit = {
@@ -600,7 +612,7 @@ object EncodeJob {
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
       val rows = sortByUrlUtf8(rows0)(_._1) // deterministic chunk layout (by url, UTF-8 byte order)
-      val partChunks = rows.grouped(chunkRows).zipWithIndex.flatMap { case (chunk, cid) =>
+      val partChunks = rows.grouped(chunkRows).zipWithIndex.map { case (chunk, cid) =>
         // url and warc_ts are the row identity — must be non-null; the
         // payload columns (html/text/lang) are nullable like real crawl data
         val urls = chunk.map { r =>
@@ -611,38 +623,30 @@ object EncodeJob {
           Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
         }.toArray
         def nb(s: String): Array[Byte] = if (s == null) null else s.getBytes(UTF_8)
-        val htmls = chunk.map(_._3).toArray // Array[Byte], may be null
-        val texts = chunk.map(r => nb(r._4)).toArray
-        val langs = chunk.map(r => nb(r._5)).toArray
-        val urlMin = chunk.head._1
-        val urlMax = chunk.last._1
-        def bin(name: String, values: Array[Array[Byte]]): EncodedChunk = {
+        def bin(values: Array[Array[Byte]]): ColChunk = {
           val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
-          EncodedChunk(pid, cid, name, ColumnCodec.codecName(payload),
-            values.length,
+          ColChunk(ColumnCodec.codecName(payload),
             values.map(v => if (v == null) 0L else v.length.toLong).sum,
-            payload.length.toLong,
-            fnv1a(payload), urlMin, urlMax, payload)
+            payload.length.toLong, fnv1a(payload), payload)
         }
         val tsPayload = ColumnCodec.encodeLong(tss)
-        Seq(
-          bin("url", urls),
-          EncodedChunk(pid, cid, "warc_ts", ColumnCodec.codecName(tsPayload),
-            tss.length, tss.length * 8L, tsPayload.length.toLong,
-            fnv1a(tsPayload), urlMin, urlMax, tsPayload),
-          bin("html", htmls),
-          bin("text", texts),
-          bin("lang", langs)
-        )
+        EncodedChunk(pid, cid, chunk.length, chunk.head._1, chunk.last._1,
+          url = bin(urls),
+          warc_ts = ColChunk(ColumnCodec.codecName(tsPayload), tss.length * 8L,
+            tsPayload.length.toLong, fnv1a(tsPayload), tsPayload),
+          html = bin(chunk.map(_._3).toArray),
+          text = bin(chunk.map(r => nb(r._4)).toArray),
+          lang = bin(chunk.map(r => nb(r._5)).toArray))
       }.toVector
       onPartDone(LineageRecord(
         part_id = pid,
         n_rows = rows.length.toLong,
-        n_chunks = partChunks.map(_.chunk_id).distinct.length.toLong,
-        bytes_in = partChunks.map(_.bytes_in).sum,
-        bytes_out = partChunks.map(_.bytes_out).sum,
-        codecs = partChunks.map(c => s"${c.col_name}=${c.codec}").distinct.sorted.mkString(","),
-        payload_hash = partChunks.map(_.payload_hash).foldLeft(0L)(_ ^ _),
+        n_chunks = partChunks.length.toLong,
+        bytes_in = partChunks.map(_.bytesIn).sum,
+        bytes_out = partChunks.map(_.bytesOut).sum,
+        codecs = partChunks.flatMap(_.columns.map { case (n, c) => s"$n=${c.codec}" })
+          .distinct.sorted.mkString(","),
+        payload_hash = partChunks.map(_.hashXor).foldLeft(0L)(_ ^ _),
         status = "done"
       ))
       partChunks

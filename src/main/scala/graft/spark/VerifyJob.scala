@@ -75,8 +75,7 @@ object VerifyJob {
     val refBytes = costs.getLong(1)
 
     val encodedTextBytes = spark.read.parquet(EncodeJob.chunksPath(outDir))
-      .filter($"col_name" === "text")
-      .agg(sum($"bytes_out")).first().getLong(0)
+      .agg(sum($"text.bytes_out")).first().getLong(0)
 
     VerifyReport(
       rows_source = pages.count(),

@@ -36,8 +36,10 @@ object EncodePhases {
     timed("lineage agg+write") {
       val written = spark.read.parquet(out + "/chunks")
       written.groupBy($"part_id")
-        .agg(sum($"bytes_in").as("bytes_in"), sum($"bytes_out").as("bytes_out"),
-          expr("aggregate(collect_list(payload_hash), 0L, (a, x) -> a ^ x)").as("ph"))
+        .agg(
+          sum(expr("url.bytes_in + warc_ts.bytes_in + html.bytes_in + text.bytes_in + lang.bytes_in")).as("bytes_in"),
+          sum(expr("url.bytes_out + warc_ts.bytes_out + html.bytes_out + text.bytes_out + lang.bytes_out")).as("bytes_out"),
+          expr("aggregate(collect_list(url.payload_hash ^ warc_ts.payload_hash ^ html.payload_hash ^ text.payload_hash ^ lang.payload_hash), 0L, (a, x) -> a ^ x)").as("ph"))
         .write.mode("overwrite").parquet(out + "/_lineage_probe")
     }
     spark.stop()

@@ -26,7 +26,7 @@ object TimeEncodeParts {
       .mapPartitions(it => graft.spark.EncodeJobProbe.encodePartition(it, cfg.chunkRows))
 
     timed("encodePartition+sumLen") {
-      println("payload " + chunks.map(_.payload.length.toLong).reduce(_ + _))
+      println("payload " + chunks.map(_.columns.map(_._2.payload.length.toLong).sum).reduce(_ + _))
     }
     val out = "/root/repo/target/bench/tep"
     graft.Bench.deleteDir(out)
@@ -38,12 +38,12 @@ object TimeEncodeParts {
       val written = spark.read.parquet(out + "/chunks")
       written.groupBy($"part_id")
         .agg(
-          (sum($"n_rows") / lit(5)).cast("long").as("n_rows"),
+          sum($"n_rows").as("n_rows"),
           countDistinct($"chunk_id").as("n_chunks"),
-          sum($"bytes_in").as("bytes_in"),
-          sum($"bytes_out").as("bytes_out"),
-          concat_ws(",", sort_array(collect_set(concat($"col_name", lit("="), $"codec")))).as("codecs"),
-          expr("aggregate(collect_list(xxhash64(payload)), 0L, (a, x) -> a ^ x)").as("payload_hash")
+          sum(expr("url.bytes_in + warc_ts.bytes_in + html.bytes_in + text.bytes_in + lang.bytes_in")).as("bytes_in"),
+          sum(expr("url.bytes_out + warc_ts.bytes_out + html.bytes_out + text.bytes_out + lang.bytes_out")).as("bytes_out"),
+          concat_ws(",", sort_array(collect_set($"text.codec"))).as("codecs"),
+          expr("aggregate(collect_list(xxhash64(url.payload) ^ xxhash64(text.payload)), 0L, (a, x) -> a ^ x)").as("payload_hash")
         ).collect()
     }
     spark.stop()

@@ -32,6 +32,15 @@ class SparkJobsSpec extends AnyFunSuite {
     d.getAbsolutePath + "/out"
   }
 
+  /** (part_id, chunk_id) -> the five per-column payload hashes. */
+  private def chunkHashMap(out: String): Map[(Int, Int), Seq[Long]] =
+    spark.read.parquet(EncodeJob.chunksPath(out))
+      .select("part_id", "chunk_id", "url.payload_hash", "warc_ts.payload_hash",
+        "html.payload_hash", "text.payload_hash", "lang.payload_hash")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
   test("pages generator is deterministic and schema-exact") {
     val p1 = PagesGen.page(42L, 7L, 100, hostSkew = false)
     val p2 = PagesGen.page(42L, 7L, 100, hostSkew = false)
@@ -186,16 +195,12 @@ class SparkJobsSpec extends AnyFunSuite {
     // already-full buffer — regression for the >=-vs-== flush condition)
     Seq(96 -> 32, 100 -> 32, 17 -> 1).foreach { case (nRows, chunkRows) =>
       val pages = PagesGen.generate(spark, nRows, partitions = 3)
-      def runWith(spill: Boolean): (Map[(Int, Int, String), Long], Map[Int, (Long, Long, Long)]) = {
+      def runWith(spill: Boolean): (Map[(Int, Int), Seq[Long]], Map[Int, (Long, Long, Long)]) = {
         val out = tmpDir(s"spill_$spill${nRows}")
         val rep = EncodeJob.run(spark, pages, out,
           EncodeConfig(numPartitions = 3, chunkRows = chunkRows, spillSafeSort = spill))
-        val chunks = spark.read.parquet(EncodeJob.chunksPath(out))
-          .select("part_id", "chunk_id", "col_name", "payload_hash")
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
         val lineage = rep.collect().map(l => l.part_id -> ((l.n_rows, l.bytes_out, l.payload_hash))).toMap
-        (chunks, lineage)
+        (chunkHashMap(out), lineage)
       }
       val (cs, ls) = runWith(true)
       val (cb, lb) = runWith(false)
@@ -216,14 +221,11 @@ class SparkJobsSpec extends AnyFunSuite {
       p.copy(url = s"https://x.test/$marker/${i / 2}")
     }
     val ds = spark.createDataset(pages.toIndexedSeq)
-    def hashes(spill: Boolean): Map[(Int, Int, String), Long] = {
+    def hashes(spill: Boolean): Map[(Int, Int), Seq[Long]] = {
       val out = tmpDir(s"nonbmp_$spill")
       EncodeJob.run(spark, ds, out,
         EncodeConfig(numPartitions = 2, chunkRows = 4, spillSafeSort = spill))
-      spark.read.parquet(EncodeJob.chunksPath(out))
-        .select("part_id", "chunk_id", "col_name", "payload_hash")
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+      chunkHashMap(out)
     }
     assert(hashes(true) == hashes(false), "non-BMP urls sliced differently by the two kernels")
   }
@@ -344,10 +346,7 @@ class SparkJobsSpec extends AnyFunSuite {
     val base = PagesGen.generate(spark, 150, partitions = 4)
     EncodeJob.run(spark, base, out, cfg)
 
-    def chunkHashes(): Map[(Int, Int, String), Long] =
-      spark.read.parquet(EncodeJob.chunksPath(out))
-        .select("part_id", "chunk_id", "col_name", "payload_hash").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    def chunkHashes(): Map[(Int, Int), Seq[Long]] = chunkHashMap(out)
     val baseChunks = chunkHashes()
 
     // a disjoint delta (docIds 150..199 => urls disjoint from the base)
