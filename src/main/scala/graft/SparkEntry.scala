@@ -629,6 +629,23 @@ object SparkEntry {
       val rerun = EncodeJob.append(s, delta, outDir, cfg).count()
       require(rerun == 0L && hashes() == after, "re-append was not a no-op")
       DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
+    },
+
+    // --- column-projected decode: "give me just the text" must read ONLY
+    // the url+text payload leaves (parquet nested-schema pruning; html —
+    // most of the bytes — is never scanned or decoded). The require pins
+    // the pruned ReadSchema; the oracle pins the decoded values.
+    "q48_decode_projected" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/projected_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
+        EncodeConfig(numPartitions = 8, chunkRows = 64))
+      val projected = DecodeJob.decodeProjected(s, outDir, Seq("text"))
+      val scan = projected.queryExecution.executedPlan.toString()
+      require(scan.contains("url") && scan.contains("text") && !scan.contains("html"),
+        s"projection not pruned to the requested leaves:\n$scan")
+      projected.select($"url", $"text")
     }
   )
 
@@ -774,6 +791,10 @@ object SparkEntry {
     "q45_incremental_append" ->
       """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
         |       text, lang
+        |FROM documents""".stripMargin,
+    "q48_decode_projected" ->
+      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |       text
         |FROM documents""".stripMargin,
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,

@@ -130,6 +130,48 @@ object DecodeJob {
         (col("url_min") < prefix || col("url_min").startsWith(prefix)))
       .filter(p => p.url.startsWith(prefix))
 
+  /** Column-projected page decode: rows keyed by url with ONLY the
+    * requested payload columns decoded — the "read just the text of the
+    * corpus" path a training pipeline actually runs. Parquet nested-schema
+    * pruning means the unrequested payload leaves (e.g. html, typically
+    * most of the bytes) are never read from storage, and their decode
+    * kernels never run. Output schema: `url` plus `cols` in the given
+    * order (`warc_ts` as microseconds-long; others as string, null
+    * preserved). No exchange, like [[run]].
+    */
+  def decodeProjected(spark: SparkSession, outDir: String, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val valid = Set("warc_ts", "html", "text", "lang")
+    require(cols.nonEmpty && cols.forall(valid), s"cols must be among $valid: $cols")
+    val wantTs = cols.contains("warc_ts")
+    val strCols = cols.filterNot(_ == "warc_ts")
+    val selected =
+      Seq($"url.payload".as("url_p")) ++
+        (if (wantTs) Seq($"warc_ts.payload".as("ts_p")) else Nil) ++
+        strCols.map(c => col(s"$c.payload").as(s"${c}_p"))
+    val rows = spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("url", StringType, nullable = false) +:
+        ((if (wantTs) Seq(StructField("warc_ts_us", LongType, nullable = false)) else Nil) ++
+          strCols.map(c => StructField(c, StringType, nullable = true))))
+    val rdd = rows.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val urls = ColumnCodec.decodeBinary(r.getAs[Array[Byte]]("url_p"))
+        val tss = if (wantTs) ColumnCodec.decodeLong(r.getAs[Array[Byte]]("ts_p")) else null
+        val strs = strCols.map(c => ColumnCodec.decodeBinaryNullable(r.getAs[Array[Byte]](s"${c}_p")))
+        urls.indices.iterator.map { i =>
+          val base: Seq[Any] = Seq(new String(urls(i), UTF_8)) ++
+            (if (wantTs) Seq(tss(i)) else Nil) ++
+            strs.map(a => if (a(i) == null) null else new String(a(i), UTF_8))
+          Row.fromSeq(base)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Decode a single column (positional within (part_id, chunk_id)) —
     * the column-pruned read path: parquet nested-schema pruning reads only
     * the `<colName>.payload` leaf, never the other four payload columns.

@@ -287,6 +287,12 @@ object EncodeJob {
     requireLayoutMatch(spark, outDir, cfg)
     val withPart = delta.withColumn("part_id", partIdCol(cfg))
 
+    // bootstrapping: appending to a dir with no chunks yet IS the initial
+    // encode (the natural way to start an incrementally-built table)
+    val chunksP = new org.apache.hadoop.fs.Path(chunksPath(outDir))
+    val chunksFs = chunksP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!chunksFs.exists(chunksP)) return run(spark, delta, outDir, cfg)
+
     // --- dedupe against the stored table via per-chunk url ranges (nested
     // pruning: only the url payload leaf is read, never html/text)
     val urlChunks = spark.read.parquet(chunksPath(outDir))

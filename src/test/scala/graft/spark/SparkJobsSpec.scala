@@ -385,6 +385,38 @@ class SparkJobsSpec extends AnyFunSuite {
       report2.except_violations == 0, report2)
   }
 
+  test("decodeProjected: only requested leaves read; values exact; lookup works after append") {
+    import spark.implicits._
+    val out = tmpDir("projected")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 32)
+    val all = PagesGen.generate(spark, 120, partitions = 4).collect()
+
+    // bootstrap an incrementally-built table purely through append
+    assert(EncodeJob.append(spark, spark.createDataset(all.take(80).toIndexedSeq), out, cfg)
+      .collect().nonEmpty)
+    assert(EncodeJob.append(spark, spark.createDataset(all.drop(80).toIndexedSeq), out, cfg)
+      .collect().nonEmpty)
+
+    // projected decode: exact url->text map, html leaf absent from the scan
+    val proj = DecodeJob.decodeProjected(spark, out, Seq("text", "warc_ts"))
+    assert(proj.columns.toSeq == Seq("url", "warc_ts_us", "text"))
+    val scan = proj.queryExecution.executedPlan.toString()
+    assert(!scan.contains("html"), s"html leaf must be pruned out:\n$scan")
+    val got = proj.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 120)
+    all.foreach { p =>
+      val (ts, text) = got(p.url)
+      assert(text == p.text && ts == Math.floorDiv(p.warc_ts.getTime, 1000L) * 1000000L +
+        p.warc_ts.getNanos / 1000L)
+    }
+
+    // point lookup spans chunks from BOTH append generations
+    val wanted = Seq(all(10), all(100))
+    val looked = DecodeJob.lookupUrls(spark, out, wanted.map(_.url)).collect()
+      .map(p => p.url -> p.text).toMap
+    assert(looked == wanted.map(p => p.url -> p.text).toMap)
+  }
+
   test("decodeColumn provides the column-pruned read path") {
     import spark.implicits._
     val out = tmpDir("colprune")
