@@ -591,13 +591,14 @@ object SparkEntry {
       val pidByUrl = urls.toDF("url").withColumn("part_id", EncodeJob.partIdCol(lookCfg))
         .as[(String, Int)].collect().toMap
       val chunks = s.read.parquet(EncodeJob.chunksPath(outDir))
-      val pred = urls.map(u =>
+      urls.map(u =>
         col("part_id") === pidByUrl(u) && col("url_min") <= u && col("url_max") >= u
-      ).reduce(_ || _)
-      val matched = chunks.filter(pred).select("part_id", "chunk_id").distinct().count()
-      val total = chunks.select("part_id", "chunk_id").distinct().count()
-      require(matched <= urls.length.toLong && matched < total,
-        s"lookup pruning failed: $matched of $total chunks matched for ${urls.length} urls")
+      ).reduceOption(_ || _).foreach { pred => // empty url set: nothing to pin
+        val matched = chunks.filter(pred).select("part_id", "chunk_id").distinct().count()
+        val total = chunks.select("part_id", "chunk_id").distinct().count()
+        require(matched <= urls.length.toLong && matched < total,
+          s"lookup pruning failed: $matched of $total chunks matched for ${urls.length} urls")
+      }
       DecodeJob.lookupUrls(s, outDir, urls)
         .select($"url", $"text", $"lang")
     },
@@ -641,11 +642,13 @@ object SparkEntry {
       deleteDir(outDir)
       EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
         EncodeConfig(numPartitions = 8, chunkRows = 64))
-      val projected = DecodeJob.decodeProjected(s, outDir, Seq("text"))
-      val scan = projected.queryExecution.executedPlan.toString()
-      require(scan.contains("url") && scan.contains("text") && !scan.contains("html"),
+      // the gate inspects the actual parquet scan (decodeProjected's own
+      // plan is an ExistingRDD that would hide the ReadSchema)
+      val scan = DecodeJob.projectedScan(s, outDir, Seq("text"))
+        .queryExecution.executedPlan.toString()
+      require(scan.contains("ReadSchema") && scan.contains("text") && !scan.contains("html"),
         s"projection not pruned to the requested leaves:\n$scan")
-      projected.select($"url", $"text")
+      DecodeJob.decodeProjected(s, outDir, Seq("text")).select($"url", $"text")
     }
   )
 

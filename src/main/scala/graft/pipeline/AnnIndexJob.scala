@@ -56,6 +56,11 @@ object AnnIndexJob {
       .sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Deterministic coarse quantizer shared with [[Similarity.ivfTopK]]:
     * the nLists corpus vectors with the lowest xxhash64(id) ranks.
     */
@@ -108,7 +113,11 @@ object AnnIndexJob {
     }.write.mode(SaveMode.Overwrite)
       .partitionBy("list_id")
       .parquet(ivfAssignPath(outDir))
-    writeIdLookup(vectors.toDF("id", "vec"), ivfLookupPath(outDir))
+    // lookup derives from the just-written index (a local re-read), not a
+    // second pass over `vectors` — which may be an expensive lazy pipeline
+    writeIdLookup(
+      spark.read.parquet(ivfAssignPath(outDir)).select($"id", $"vec"),
+      ivfLookupPath(outDir))
   }
 
   /** Top-k cosine search against a stored IVF index. No assignment pass:
@@ -127,8 +136,12 @@ object AnnIndexJob {
       .as[IvfCentroid].collect().sortBy(_.list_id).map(_.vec)
     val assign = spark.read.parquet(ivfAssignPath(indexDir))
     // row-group-pruned fetch from the id-sorted lookup — does not open the
-    // list-partitioned index body at all
-    val queries: Array[(Long, Array[Float])] = spark.read.parquet(ivfLookupPath(indexDir))
+    // list-partitioned index body at all. Indexes persisted before the
+    // lookup table existed fall back to the (unpruned) body scan.
+    val querySrc =
+      if (pathExists(spark, ivfLookupPath(indexDir))) spark.read.parquet(ivfLookupPath(indexDir))
+      else assign
+    val queries: Array[(Long, Array[Float])] = querySrc
       .filter(col("id").isin(queryIds: _*))
       .select($"id", $"vec").as[(Long, Array[Float])].collect()
 
@@ -194,10 +207,12 @@ object AnnIndexJob {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("band")
       .parquet(rhpRowsPath(outDir))
+    // lookup derives from the just-written band-0 rows (each id appears
+    // once per band with its full signature) — no second corpus pass, no
+    // signature recompute
     writeIdLookup(
-      vectors.map { case (id, vec) =>
-        (id, vec, Similarity.rhpSignature(vec, bands * bitsPerBand, RhpSeed))
-      }.toDF("id", "vec", "sig"),
+      spark.read.parquet(rhpRowsPath(outDir))
+        .filter(col("band") === 0).select($"id", $"vec", $"sig"),
       rhpLookupPath(outDir))
   }
 
@@ -246,8 +261,12 @@ object AnnIndexJob {
     val mask = (1L << bits) - 1
     val rows = spark.read.parquet(rhpRowsPath(indexDir))
     // row-group-pruned fetch from the id-sorted lookup — the band-partitioned
-    // index body has bucket locality, not id locality
-    val queries: Array[(Long, Array[Float], Long)] = spark.read.parquet(rhpLookupPath(indexDir))
+    // index body has bucket locality, not id locality. Pre-lookup indexes
+    // fall back to the band-0 body scan.
+    val querySrc =
+      if (pathExists(spark, rhpLookupPath(indexDir))) spark.read.parquet(rhpLookupPath(indexDir))
+      else rows.filter(col("band") === 0)
+    val queries: Array[(Long, Array[Float], Long)] = querySrc
       .filter(col("id").isin(queryIds: _*))
       .select($"id", $"vec", $"sig").as[(Long, Array[Float], Long)].collect()
 

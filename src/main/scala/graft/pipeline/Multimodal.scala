@@ -100,15 +100,18 @@ object Multimodal {
       // (salvaging the media) instead of rejecting. Mid-stream overruns of
       // any other chunk still reject — there is no safe way to resume the
       // walk past them.
+      // First 'data' chunk wins in both cases — findWavData returns the
+      // first chunk's payload offset, so a later (possibly corrupt) 'data'
+      // chunk must never clobber an already-parsed length.
       if (size > bytes.length - off - 8) {
-        if (id == "data") dataLen = bytes.length - off - 8
+        if (id == "data" && dataLen < 0) dataLen = bytes.length - off - 8
         ok = false
       } else {
         if (id == "fmt " && off + 8 + 16 <= bytes.length) {
           channels = le16(bytes, o + 10)
           sampleRate = le32(bytes, o + 12)
           bits = le16(bytes, o + 22)
-        } else if (id == "data") {
+        } else if (id == "data" && dataLen < 0) {
           dataLen = size
         }
         off += 8L + size + (size & 1L) // chunks are word-aligned
@@ -196,7 +199,7 @@ object Multimodal {
     decodeBmp(bytes).flatMap { info =>
       if (info.bitsPerPixel != 24 || newW <= 0 || newH <= 0) None
       else {
-        val srcRow = ((info.width * 24 + 31) / 32) * 4
+        val srcRow = (((info.width.toLong * 24 + 31) / 32) * 4).toInt // Long math: see contentEmbedding
         val dataOffset = le32(bytes, 10)
         val out = synthBmp(newW, newH) // valid header; pixels overwritten below
         val dstRow = ((newW * 24 + 31) / 32) * 4
@@ -272,7 +275,10 @@ object Multimodal {
     val bmp = decodeBmp(bytes)
     bmp match {
       case Some(info) if info.bitsPerPixel == 24 =>
-        val rowSize = ((info.width * 24 + 31) / 32) * 4
+        // Long math like decodeBmp's bound check: width*24 wraps Int for
+        // very wide images; the true rowSize fits Int because decodeBmp
+        // proved rowSize*height <= bytes.length
+        val rowSize = (((info.width.toLong * 24 + 31) / 32) * 4).toInt
         val off = le32(bytes, 10)
         val sums = new Array[Long](EmbeddingDim)
         val cnts = new Array[Long](EmbeddingDim)

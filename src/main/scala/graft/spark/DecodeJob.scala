@@ -139,7 +139,16 @@ object DecodeJob {
     * order (`warc_ts` as microseconds-long; others as string, null
     * preserved). No exchange, like [[run]].
     */
-  def decodeProjected(spark: SparkSession, outDir: String, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+  /** The pruned payload scan feeding [[decodeProjected]] — separated so
+    * callers/tests can assert on ITS executed plan (the FileScan's
+    * ReadSchema); the DataFrame decodeProjected returns is an ExistingRDD
+    * whose plan string no longer shows the scan.
+    */
+  private[graft] def projectedScan(
+      spark: SparkSession,
+      outDir: String,
+      cols: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val valid = Set("warc_ts", "html", "text", "lang")
     require(cols.nonEmpty && cols.forall(valid), s"cols must be among $valid: $cols")
@@ -149,7 +158,13 @@ object DecodeJob {
       Seq($"url.payload".as("url_p")) ++
         (if (wantTs) Seq($"warc_ts.payload".as("ts_p")) else Nil) ++
         strCols.map(c => col(s"$c.payload").as(s"${c}_p"))
-    val rows = spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
+    spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
+  }
+
+  def decodeProjected(spark: SparkSession, outDir: String, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val wantTs = cols.contains("warc_ts")
+    val strCols = cols.filterNot(_ == "warc_ts")
+    val rows = projectedScan(spark, outDir, cols)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(

@@ -309,15 +309,14 @@ object EncodeJob {
       // join reorders columns (join key first); restore kernel column order
       .select("url", "warc_ts", "html", "text", "lang", "part_id")
 
-    // --- chunk-id offsets: sum of each part's chunk counts so far
-    val offsets: Map[Int, Int] = {
-      val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Map.empty
-      else spark.read.parquet(lineagePath(outDir))
-        .groupBy($"part_id").agg(sum($"n_chunks").as("n"))
-        .as[(Int, Long)].collect().map { case (pid, n) => pid -> n.toInt }.toMap
-    }
+    // --- chunk-id offsets: max existing chunk_id + 1 per part, from the
+    // CHUNKS table (metadata-only, column-pruned scan) rather than the
+    // lineage table: chunk files commit before lineage rows, so after a
+    // crash in that window the lineage undercounts and a lineage-derived
+    // offset would reuse an orphaned chunk's (part_id, chunk_id) key
+    val offsets: Map[Int, Int] = spark.read.parquet(chunksPath(outDir))
+      .groupBy($"part_id").agg(max($"chunk_id").as("m"))
+      .as[(Int, Int)].collect().map { case (pid, m) => pid -> (m + 1) }.toMap
     val bcOff = spark.sparkContext.broadcast(offsets)
 
     val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]

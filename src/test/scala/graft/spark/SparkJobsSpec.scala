@@ -397,11 +397,15 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(EncodeJob.append(spark, spark.createDataset(all.drop(80).toIndexedSeq), out, cfg)
       .collect().nonEmpty)
 
-    // projected decode: exact url->text map, html leaf absent from the scan
+    // projected decode: exact url->text map, html leaf absent from the
+    // actual parquet scan's ReadSchema (the projectedScan plan — the outer
+    // DataFrame is an ExistingRDD that hides the scan)
     val proj = DecodeJob.decodeProjected(spark, out, Seq("text", "warc_ts"))
     assert(proj.columns.toSeq == Seq("url", "warc_ts_us", "text"))
-    val scan = proj.queryExecution.executedPlan.toString()
-    assert(!scan.contains("html"), s"html leaf must be pruned out:\n$scan")
+    val scan = DecodeJob.projectedScan(spark, out, Seq("text", "warc_ts"))
+      .queryExecution.executedPlan.toString()
+    assert(scan.contains("ReadSchema") && !scan.contains("html"),
+      s"html leaf must be pruned out of the parquet scan:\n$scan")
     val got = proj.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got.size == 120)
     all.foreach { p =>
