@@ -56,6 +56,39 @@ object StreamingEncodeJob {
       .start()
   }
 
+  /** Stream into ONE canonical encoded table via chunk-level append: each
+    * micro-batch's genuinely-new urls become new chunk files + lineage
+    * rows ([[EncodeJob.append]]; the first batch bootstraps the table).
+    * Exactly-once here falls out of IDEMPOTENCE rather than batch-id
+    * bookkeeping: a batch re-delivered after a crash dedupes against the
+    * stored per-chunk url ranges and encodes nothing — even a crash
+    * between the chunk commit and the lineage append only orphans
+    * metrics rows, never data (chunk-id offsets come from the chunks
+    * table itself). Unlike [[start]]'s `batch=<id>` dirs, the result is a
+    * single table that serves [[graft.spark.DecodeJob.lookupUrls]] /
+    * `decodeProjected` directly — the landing-zone-to-queryable-table
+    * path a continuous crawl actually needs.
+    */
+  def startAppending(
+      pages: Dataset[Page],
+      tableDir: String,
+      checkpointDir: String,
+      cfg: EncodeConfig = EncodeConfig(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatchStart: Long => Unit = _ => ()
+  ): StreamingQuery = {
+    require(pages.isStreaming, "StreamingEncodeJob.startAppending needs a streaming Dataset[Page]")
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        onBatchStart(batchId)
+        EncodeJob.append(batch.sparkSession, batch, tableDir, cfg)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Dataset[Page] over a directory of staged parquet files —
     * the real micro-batch discovery path (one file per trigger when
     * `maxFilesPerTrigger = 1`). At scale this is the landing-zone pattern:

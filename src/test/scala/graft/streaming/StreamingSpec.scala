@@ -62,6 +62,44 @@ class StreamingSpec extends AnyFunSuite {
         !($"d_html" <=> $"html") || !($"d_ts" <=> $"ts")).count() == 0)
   }
 
+  test("startAppending: micro-batches land in ONE canonical table, idempotently") {
+    val pages = (0 until 90).map(i => PagesGen.page(23L, i.toLong, 90, hostSkew = false))
+    val staging = tmp("app_stage")
+    val table = tmp("app_table")
+    val ckpt = tmp("app_ckpt")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    // three slices; the third OVERLAPS the second by 10 urls — the append
+    // dedupe must drop them (a crawler re-delivering pages is the norm)
+    Seq(0 until 30, 30 until 60, 50 until 90).foreach { r =>
+      spark.createDataset(r.map(i => pages(i)))
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+
+    // crash before batch 1; restart redelivers it — append idempotence
+    // (url-range dedupe) gives exactly-once in the ONE table
+    val q1 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      onBatchStart = id => if (id == 1) sys.error("injected crash before batch 1"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination())
+    val q2 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg)
+    q2.awaitTermination()
+
+    // single canonical table: full decode exact, no batch= dirs anywhere
+    assert(!new java.io.File(table).listFiles().exists(_.getName.startsWith("batch=")))
+    val decoded = graft.spark.DecodeJob.run(spark, table).collect()
+    assert(decoded.length == 90 && decoded.map(_.url).distinct.length == 90)
+    val byUrl = decoded.map(p => p.url -> p).toMap
+    pages.foreach { p =>
+      val d = byUrl(p.url)
+      assert(d.text == p.text && d.lang == p.lang && d.warc_ts == p.warc_ts)
+      assert(java.util.Arrays.equals(d.html, p.html))
+    }
+    // and the table serves pruned point lookups directly
+    val hit = graft.spark.DecodeJob.lookupUrls(spark, table, Seq(pages(55).url)).collect()
+    assert(hit.length == 1 && hit.head.text == pages(55).text)
+  }
+
   test("streaming encode: micro-batches run the batch kernel; decode is bit-identical") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val pages = (0 until 120).map(i => PagesGen.page(7L, i.toLong, 120, hostSkew = false))
