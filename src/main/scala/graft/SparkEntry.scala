@@ -649,6 +649,27 @@ object SparkEntry {
       require(scan.contains("ReadSchema") && scan.contains("text") && !scan.contains("html"),
         s"projection not pruned to the requested leaves:\n$scan")
       DecodeJob.decodeProjected(s, outDir, Seq("text")).select($"url", $"text")
+    },
+
+    // --- SQL-surface read of the encoded table: a pure-SQL user decodes
+    // column payloads with graft_decode_column (codegen'd Catalyst
+    // expression), zip_with aligning positions within each chunk row.
+    // Reuses q48's encoded dir (same dir hash) — chunks are the engine's
+    // own stored format read back through nothing but SQL.
+    "q49_sql_decode_column" -> { (s, dir) =>
+      import s.implicits._
+      graft.sql.GraftFunctions.register(s)
+      val outDir = s"/root/repo/target/sqlcol_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
+        EncodeConfig(numPartitions = 8, chunkRows = 64))
+      s.read.parquet(EncodeJob.chunksPath(outDir)).createOrReplaceTempView("graft_chunks")
+      s.sql("""SELECT p.url, p.text FROM (
+              |  SELECT explode(zip_with(graft_decode_column(url.payload),
+              |                          graft_decode_column(text.payload),
+              |                          (u, t) -> struct(u AS url, t AS text))) AS p
+              |  FROM graft_chunks) q
+              |""".stripMargin)
     }
   )
 
@@ -796,6 +817,10 @@ object SparkEntry {
         |       text, lang
         |FROM documents""".stripMargin,
     "q48_decode_projected" ->
+      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |       text
+        |FROM documents""".stripMargin,
+    "q49_sql_decode_column" ->
       """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
         |       text
         |FROM documents""".stripMargin,

@@ -59,6 +59,21 @@ object GraftFunctions {
 
   def simhash(s: UTF8String): Long = graft.pipeline.Dedup.simHash(s.toString)
 
+  /** Decode a ColumnCodec binary-column payload (one nested `*.payload`
+    * cell of the encoded-chunks table) to its value array, null slots
+    * preserved — the SQL-surface read of the encoded table:
+    *
+    *   SELECT explode(zip_with(graft_decode_column(url.payload),
+    *                           graft_decode_column(text.payload),
+    *                           (u, t) -> struct(u AS url, t AS text)))
+    *   FROM chunks
+    */
+  def decodeColumn(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val vals = graft.codec.ColumnCodec.decodeBinaryNullable(payload)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      vals.map(v => if (v == null) null else UTF8String.fromBytes(v)))
+  }
+
   /** FM-index locate: 1-based byte positions of every occurrence,
     * row-ordered as the reference returns them
     * (locateFMIndex, /root/reference/src/Data/FMIndex/Internal.hs:448-542);
@@ -122,6 +137,17 @@ object GraftFunctions {
       copy(child = newChild)
   }
 
+  case class GraftDecodeColumn(child: Expression) extends GraftUnary {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+    override protected def expectedInput: DataType = BinaryType
+    override protected def staticCall = "decodeColumn"
+    override protected def nullSafeEval(input: Any): Any =
+      decodeColumn(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class GraftFmCount(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
     override def dataType: DataType = LongType
@@ -175,7 +201,8 @@ object GraftFunctions {
     "graft_fingerprint" -> (args => GraftFingerprint(args.head)),
     "graft_simhash" -> (args => GraftSimhash(args.head)),
     "graft_fm_count" -> (args => GraftFmCount(args(0), args(1))),
-    "graft_fm_locate" -> (args => GraftFmLocate(args(0), args(1)))
+    "graft_fm_locate" -> (args => GraftFmLocate(args(0), args(1))),
+    "graft_decode_column" -> (args => GraftDecodeColumn(args.head))
   )
 
   /** Programmatic registration (idempotent) for sessions we don't build
@@ -227,6 +254,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_fm_locate"),
       new ExpressionInfo("graft.sql.GraftFunctions", "graft_fm_locate"),
       (args: Seq[Expression]) => GraftFunctions.GraftFmLocate(args(0), args(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode_column"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_decode_column"),
+      (args: Seq[Expression]) => GraftFunctions.GraftDecodeColumn(args.head)
     ))
   }
 }

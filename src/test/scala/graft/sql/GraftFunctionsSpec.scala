@@ -29,6 +29,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_decode_column decodes ColumnCodec payloads incl. null slots") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    GraftFunctions.register(spark)
+    val values: Array[Array[Byte]] =
+      Array("alpha".getBytes(UTF_8), null, "".getBytes(UTF_8), "gamma 中文".getBytes(UTF_8))
+    val payload = graft.codec.ColumnCodec.encodeBinaryNullable(values)
+    Seq(Tuple1(payload)).toDF("p").createOrReplaceTempView("t_col_payload")
+    val arr = spark.sql("SELECT graft_decode_column(p) AS vals FROM t_col_payload")
+      .collect().head.getSeq[String](0)
+    assert(arr == Seq("alpha", null, "", "gamma 中文"))
+    // null payload cell -> null result (expression-level null safety)
+    Seq(Tuple1(null: Array[Byte])).toDF("p").createOrReplaceTempView("t_null_payload")
+    assert(spark.sql("SELECT graft_decode_column(p) FROM t_null_payload").collect().head.isNullAt(0))
+  }
+
   test("graft_fm_count: values match FmIndex; no-match is NULL, never 0") {
     import spark.implicits._
     GraftFunctions.register(spark)
