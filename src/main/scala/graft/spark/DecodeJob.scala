@@ -147,9 +147,10 @@ object DecodeJob {
   private[graft] def projectedScan(
       spark: SparkSession,
       outDir: String,
-      cols: Seq[String]
+      cols0: Seq[String]
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    val cols = cols0.distinct // duplicate requests would alias-collide
     val valid = Set("warc_ts", "html", "text", "lang")
     require(cols.nonEmpty && cols.forall(valid), s"cols must be among $valid: $cols")
     val wantTs = cols.contains("warc_ts")
@@ -161,7 +162,8 @@ object DecodeJob {
     spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
   }
 
-  def decodeProjected(spark: SparkSession, outDir: String, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+  def decodeProjected(spark: SparkSession, outDir: String, cols0: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cols = cols0.distinct
     val wantTs = cols.contains("warc_ts")
     val strCols = cols.filterNot(_ == "warc_ts")
     val rows = projectedScan(spark, outDir, cols)
