@@ -55,6 +55,14 @@ object SparkEntry {
   private val identityTextOracle =
     "SELECT doc_id, text AS text_rt FROM documents"
 
+  /** Shared SQL twin of [[pagesFromDocs]]'s url function — every
+    * encoded-table query's oracle derives from this one builder.
+    */
+  private def pagesFromDocsOracle(cols: String, where: String = ""): String =
+    s"""SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+       |       $cols
+       |FROM documents$where""".stripMargin
+
   /** Brute-force cosine top-k oracle over the standard 5 query ids —
     * shared by q19/q36 and every exact-degeneration ANN query (q25/q38/
     * q39) so a future tie-break or cast fix cannot silently diverge
@@ -653,9 +661,9 @@ object SparkEntry {
 
     // --- SQL-surface read of the encoded table: a pure-SQL user decodes
     // column payloads with graft_decode_column (codegen'd Catalyst
-    // expression), zip_with aligning positions within each chunk row.
-    // Reuses q48's encoded dir (same dir hash) — chunks are the engine's
-    // own stored format read back through nothing but SQL.
+    // expression; _binary twin for non-text columns), zip_with aligning
+    // positions within each chunk row. Encodes into its own dir — chunks
+    // are the engine's stored format read back through nothing but SQL.
     "q49_sql_decode_column" -> { (s, dir) =>
       import s.implicits._
       graft.sql.GraftFunctions.register(s)
@@ -806,24 +814,14 @@ object SparkEntry {
     "q01_bwt_roundtrip" -> identityTextOracle,
     "q02_rle_direct_roundtrip" -> identityTextOracle,
     "q43_speed_encode_roundtrip" -> identityTextOracle,
-    // q44/q45 reconstruct pagesFromDocs' pure url function in SQL; ts/html
-    // are excluded from the compared columns (ts formatting is JVM-side)
-    "q44_decode_lookup" ->
-      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |       text, lang
-        |FROM documents WHERE doc_id % 97 = 3""".stripMargin,
-    "q45_incremental_append" ->
-      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |       text, lang
-        |FROM documents""".stripMargin,
-    "q48_decode_projected" ->
-      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |       text
-        |FROM documents""".stripMargin,
-    "q49_sql_decode_column" ->
-      """SELECT 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |       text
-        |FROM documents""".stripMargin,
+    // q44/q45/q48/q49 reconstruct pagesFromDocs' pure url function in SQL
+    // (ONE shared builder so a fix cannot silently diverge between them);
+    // ts/html are excluded from the compared columns (ts formatting is
+    // JVM-side)
+    "q44_decode_lookup" -> pagesFromDocsOracle("text, lang", " WHERE doc_id % 97 = 3"),
+    "q45_incremental_append" -> pagesFromDocsOracle("text, lang"),
+    "q48_decode_projected" -> pagesFromDocsOracle("text"),
+    "q49_sql_decode_column" -> pagesFromDocsOracle("text"),
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

@@ -143,6 +143,25 @@ object EncodeJob {
           s"saltFactor=${m.saltFactor}; this config says ${cfg.numPartitions}/${cfg.saltFactor}")
     }
 
+  /** True iff the chunks table has at least one COMMITTED data file
+    * (staging junk under _temporary / .spark-staging and marker files do
+    * not count) — the "does this encoded table exist yet" test.
+    */
+  private def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(chunksPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val path = f.getPath.toString
+      val name = f.getPath.getName
+      if (!path.contains("_temporary") && !path.contains(".spark-staging") &&
+          !name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
   /** Part ids already completed according to the lineage table. */
   def donePartIds(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._
@@ -285,13 +304,31 @@ object EncodeJob {
     import spark.implicits._
 
     requireLayoutMatch(spark, outDir, cfg)
-    val withPart = delta.withColumn("part_id", partIdCol(cfg))
 
-    // bootstrapping: appending to a dir with no chunks yet IS the initial
-    // encode (the natural way to start an incrementally-built table)
-    val chunksP = new org.apache.hadoop.fs.Path(chunksPath(outDir))
-    val chunksFs = chunksP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!chunksFs.exists(chunksP)) return run(spark, delta, outDir, cfg)
+    // intra-delta dedupe FIRST (it applies to the bootstrap path too): a
+    // crawler re-delivering the same url WITHIN one batch is as normal as
+    // across batches. Deterministic winner (newest warc_ts, content hash
+    // as tie-break) — dropDuplicates would pick a partitioning-dependent
+    // row and break re-append idempotence.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, xxhash64(col("text"), col("html"), col("lang")).desc)
+    val deduped = delta.toDF()
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select("url", "warc_ts", "html", "text", "lang").as[Page]
+    val withPart = deduped.withColumn("part_id", partIdCol(cfg))
+
+    // bootstrapping: appending to a dir with no COMMITTED chunks yet IS
+    // the initial encode (the natural way to start an incrementally-built
+    // table). The gate is "at least one committed data file", NOT bare dir
+    // existence (a crash during the bootstrap write leaves the dir with
+    // only _temporary/.spark-staging junk, and treating that as an
+    // existing table would wedge every redelivery on an unreadable
+    // parquet path) and NOT a _SUCCESS marker (the dynamic-partition-
+    // overwrite commit run() uses writes none). run()'s Overwrite clears
+    // staging leftovers.
+    if (!hasCommittedChunks(spark, outDir)) return run(spark, deduped, outDir, cfg)
 
     // --- dedupe against the stored table via per-chunk url ranges (nested
     // pruning: only the url payload leaf is read, never html/text)

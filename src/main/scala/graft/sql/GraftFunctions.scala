@@ -74,6 +74,14 @@ object GraftFunctions {
       vals.map(v => if (v == null) null else UTF8String.fromBytes(v)))
   }
 
+  /** Binary-typed twin of [[decodeColumn]] for payload columns whose
+    * values are NOT UTF-8 text (e.g. `html.payload`) — laundering raw
+    * bytes through UTF8String would silently corrupt them.
+    */
+  def decodeColumnBinary(payload: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.codec.ColumnCodec.decodeBinaryNullable(payload))
+
   /** FM-index locate: 1-based byte positions of every occurrence,
     * row-ordered as the reference returns them
     * (locateFMIndex, /root/reference/src/Data/FMIndex/Internal.hs:448-542);
@@ -148,6 +156,17 @@ object GraftFunctions {
       copy(child = newChild)
   }
 
+  case class GraftDecodeColumnBinary(child: Expression) extends GraftUnary {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = true)
+    override protected def expectedInput: DataType = BinaryType
+    override protected def staticCall = "decodeColumnBinary"
+    override protected def nullSafeEval(input: Any): Any =
+      decodeColumnBinary(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class GraftFmCount(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
     override def dataType: DataType = LongType
@@ -202,7 +221,8 @@ object GraftFunctions {
     "graft_simhash" -> (args => GraftSimhash(args.head)),
     "graft_fm_count" -> (args => GraftFmCount(args(0), args(1))),
     "graft_fm_locate" -> (args => GraftFmLocate(args(0), args(1))),
-    "graft_decode_column" -> (args => GraftDecodeColumn(args.head))
+    "graft_decode_column" -> (args => GraftDecodeColumn(args.head)),
+    "graft_decode_column_binary" -> (args => GraftDecodeColumnBinary(args.head))
   )
 
   /** Programmatic registration (idempotent) for sessions we don't build
@@ -259,6 +279,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_decode_column"),
       new ExpressionInfo("graft.sql.GraftFunctions", "graft_decode_column"),
       (args: Seq[Expression]) => GraftFunctions.GraftDecodeColumn(args.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode_column_binary"),
+      new ExpressionInfo("graft.sql.GraftFunctions", "graft_decode_column_binary"),
+      (args: Seq[Expression]) => GraftFunctions.GraftDecodeColumnBinary(args.head)
     ))
   }
 }

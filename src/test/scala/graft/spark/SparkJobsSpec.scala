@@ -385,6 +385,37 @@ class SparkJobsSpec extends AnyFunSuite {
       report2.except_violations == 0, report2)
   }
 
+  test("append: poisoned bootstrap dir recovers; intra-delta duplicates pick the newest row") {
+    import spark.implicits._
+    val out = tmpDir("appedge")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 40, partitions = 2).collect()
+
+    // simulate a crash during the bootstrap write: chunks dir exists with
+    // staging junk but no _SUCCESS — the redelivered batch must bootstrap,
+    // not die on an unreadable parquet path
+    val junk = new java.io.File(EncodeJob.chunksPath(out) + "/_temporary")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(junk.toPath.resolve("leftover"), "staging junk")
+
+    // the delta carries the same url TWICE (older + newer warc_ts): the
+    // newer row must win deterministically
+    val dup = all(7).copy(
+      warc_ts = java.sql.Timestamp.from(all(7).warc_ts.toInstant.plusSeconds(3600)),
+      text = "newer content wins")
+    val delta = spark.createDataset((all.toSeq :+ dup).toIndexedSeq)
+    val rep = EncodeJob.append(spark, delta, out, cfg).collect()
+    assert(rep.map(_.n_rows).sum == 40, s"intra-delta dup must collapse: ${rep.toSeq}")
+
+    val decoded = DecodeJob.run(spark, out).collect()
+    assert(decoded.length == 40 && decoded.map(_.url).distinct.length == 40)
+    val winner = decoded.find(_.url == all(7).url).get
+    assert(winner.text == "newer content wins" && winner.warc_ts == dup.warc_ts)
+
+    // re-delivering the same (duplicated) delta is still a no-op
+    assert(EncodeJob.append(spark, delta, out, cfg).collect().isEmpty)
+  }
+
   test("decodeProjected: only requested leaves read; values exact; lookup works after append") {
     import spark.implicits._
     val out = tmpDir("projected")

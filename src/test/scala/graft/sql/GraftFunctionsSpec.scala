@@ -43,6 +43,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // null payload cell -> null result (expression-level null safety)
     Seq(Tuple1(null: Array[Byte])).toDF("p").createOrReplaceTempView("t_null_payload")
     assert(spark.sql("SELECT graft_decode_column(p) FROM t_null_payload").collect().head.isNullAt(0))
+    // binary twin: raw (non-UTF8) bytes come back untouched
+    val binVals: Array[Array[Byte]] = Array(Array[Byte](0, -1, -2, 127), null, Array.emptyByteArray)
+    Seq(Tuple1(graft.codec.ColumnCodec.encodeBinaryNullable(binVals)))
+      .toDF("p").createOrReplaceTempView("t_bin_payload")
+    val binArr = spark.sql("SELECT graft_decode_column_binary(p) AS vals FROM t_bin_payload")
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(binArr.length == 3 && java.util.Arrays.equals(binArr.head, binVals.head))
+    assert(binArr(1) == null && binArr(2).length == 0)
   }
 
   test("graft_fm_count: values match FmIndex; no-match is NULL, never 0") {
