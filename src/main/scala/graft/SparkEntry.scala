@@ -659,6 +659,31 @@ object SparkEntry {
       DecodeJob.decodeProjected(s, outDir, Seq("text")).select($"url", $"text")
     },
 
+    // --- table maintenance: compaction rewrites append fragmentation into
+    // the bootstrap layout (url-sorted full chunks, disjoint ranges per
+    // partition). The requires pin the layout effect (fewer chunk rows,
+    // lineage replaced); the oracle pins bit-identical content.
+    "q50_compact" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/compact_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val pages = pagesFromDocs(s, dir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 3 == 0), outDir, cfg)
+      (1 to 2).foreach { k =>
+        EncodeJob.append(s, pages.filter(p => hashDocId(p.url) % 3 == k), outDir, cfg)
+      }
+      val fragmented = s.read.parquet(EncodeJob.chunksPath(outDir)).count()
+      EncodeJob.compact(s, outDir, cfg)
+      val compacted = s.read.parquet(EncodeJob.chunksPath(outDir)).count()
+      require(compacted < fragmented,
+        s"compaction must shrink the chunk count: $fragmented -> $compacted")
+      val lin = s.read.parquet(EncodeJob.lineagePath(outDir))
+      require(lin.count() == lin.select($"part_id").distinct().count(),
+        "compaction must replace lineage rows, one per partition")
+      DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
+    },
+
     // --- SQL-surface read of the encoded table: a pure-SQL user decodes
     // column payloads with graft_decode_column (codegen'd Catalyst
     // expression; _binary twin for non-text columns), zip_with aligning
@@ -822,6 +847,7 @@ object SparkEntry {
     "q45_incremental_append" -> pagesFromDocsOracle("text, lang"),
     "q48_decode_projected" -> pagesFromDocsOracle("text"),
     "q49_sql_decode_column" -> pagesFromDocsOracle("text"),
+    "q50_compact" -> pagesFromDocsOracle("text, lang"),
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

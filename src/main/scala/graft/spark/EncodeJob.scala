@@ -227,6 +227,87 @@ object EncodeJob {
     spark.createDataset(records)
   }
 
+  /** Rewrite partitions into fresh optimal layout: decode every chunk of
+    * the selected partitions (default all), re-sort by url, re-slice into
+    * full chunkRows chunks, and replace the partition directories
+    * (dynamic partition overwrite) — the table-maintenance pass that
+    * undoes append fragmentation. After N appends a partition holds up to
+    * N generations of small tail chunks; lookups then probe several
+    * range-overlapping chunks per url and scans pay per-file overhead.
+    * Compaction restores the bootstrap layout invariants: one url-sorted
+    * chunk sequence per partition with disjoint url ranges. Decode output
+    * is bit-identical before vs after (the kernels are deterministic in
+    * the row set); lineage rows of compacted partitions are REPLACED so
+    * metrics reflect the new layout.
+    */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      cfg: EncodeConfig = EncodeConfig(),
+      partIds: Option[Seq[Int]] = None
+  ): Dataset[LineageRecord] = {
+    import spark.implicits._
+    requireLayoutMatch(spark, outDir, cfg)
+
+    val all = spark.read.parquet(chunksPath(outDir))
+    val selected = partIds match {
+      case Some(ps) => all.filter($"part_id".isin(ps: _*))
+      case None => all
+    }
+    // decode the selected partitions back to pages (narrow map, no
+    // exchange) and re-run the encode pipeline on them. part_id is a pure
+    // row function, so every page re-lands in its original partition.
+    val pages = selected.as[EncodedChunk].mapPartitions { it =>
+      it.flatMap { c =>
+        val urls = ColumnCodec.decodeBinary(c.url.payload)
+        val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
+        val htmls = ColumnCodec.decodeBinaryNullable(c.html.payload)
+        val texts = ColumnCodec.decodeBinaryNullable(c.text.payload)
+        val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
+        def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
+        urls.indices.iterator.map { i =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
+          Page(new String(urls(i), UTF_8), ts, htmls(i), ns(texts(i)), ns(langs(i)))
+        }
+      }
+    }
+    val withPart = pages.withColumn("part_id", partIdCol(cfg))
+
+    val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]
+    spark.sparkContext.register(acc, "graft_lineage_compact")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    encodeChunkStream(withPart, cfg, r => acc.add(r))
+      .toDF()
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .option("compression", "none")
+      .partitionBy("part_id")
+      .parquet(chunksPath(outDir))
+
+    import scala.jdk.CollectionConverters._
+    val records = acc.value.asScala.toSeq.distinct
+    // REPLACE the compacted partitions' lineage rows (append would double
+    // the metrics); other partitions' rows are carried over untouched
+    val lp = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+    val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compactedParts = records.map(_.part_id).toSet
+    val kept =
+      if (!lfs.exists(lp)) Seq.empty
+      else spark.read.parquet(lineagePath(outDir)).as[LineageRecord]
+        .collect().toSeq.filterNot(r => compactedParts.contains(r.part_id))
+    val newLineage = kept ++ records
+    if (newLineage.nonEmpty) {
+      // write-then-swap so a crash never leaves the lineage table empty
+      val tmp = lineagePath(outDir) + "_compact_tmp"
+      spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmp)
+      lfs.delete(lp, true)
+      lfs.rename(new org.apache.hadoop.fs.Path(tmp), lp)
+    }
+    spark.createDataset(records)
+  }
+
   /** The shared exchange + kernel pipeline of [[run]] and [[append]]:
     * pages-with-part_id rows in, EncodedChunk stream out (chunk ids start
     * at 0 per part; [[append]] shifts them afterwards).

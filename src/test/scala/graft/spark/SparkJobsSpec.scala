@@ -416,6 +416,45 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(EncodeJob.append(spark, delta, out, cfg).collect().isEmpty)
   }
 
+  test("compact: append fragmentation is rewritten away; decode bit-identical") {
+    import spark.implicits._
+    val out = tmpDir("compact")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 130, partitions = 2).collect()
+
+    EncodeJob.run(spark, spark.createDataset(all.take(100).toIndexedSeq), out, cfg)
+    // three tiny appends fragment the partitions with tail chunks
+    Seq(100 until 110, 110 until 120, 120 until 130).foreach { r =>
+      EncodeJob.append(spark, spark.createDataset(r.map(all).toIndexedSeq), out, cfg)
+    }
+    def chunkGroups(): Long =
+      spark.read.parquet(EncodeJob.chunksPath(out)).count()
+    def decodedSorted(): Seq[(String, String, java.sql.Timestamp)] =
+      DecodeJob.run(spark, out).collect().map(p => (p.url, p.text, p.warc_ts)).sortBy(_._1).toSeq
+
+    val before = decodedSorted()
+    val fragmented = chunkGroups()
+    assert(before.length == 130)
+
+    val rep = EncodeJob.compact(spark, out, cfg).collect()
+    assert(rep.map(_.n_rows).sum == 130)
+    val compacted = chunkGroups()
+    assert(compacted < fragmented,
+      s"compaction must reduce chunk count: $fragmented -> $compacted")
+    // rows bit-identical; ranges consistent for lookups; lineage replaced
+    assert(decodedSorted() == before)
+    val hit = DecodeJob.lookupUrls(spark, out, Seq(all(105).url)).collect()
+    assert(hit.length == 1 && hit.head.text == all(105).text)
+    val lineage = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect()
+    assert(lineage.length == lineage.map(_.part_id).distinct.length,
+      "compaction must replace, not append, lineage rows")
+    assert(lineage.map(_.n_rows).sum == 130)
+    // appending an already-present slice is STILL a no-op after compaction
+    assert(EncodeJob.append(spark,
+      spark.createDataset(all.slice(100, 120).toIndexedSeq), out, cfg).collect().isEmpty)
+  }
+
   test("decodeProjected: only requested leaves read; values exact; lookup works after append") {
     import spark.implicits._
     val out = tmpDir("projected")
