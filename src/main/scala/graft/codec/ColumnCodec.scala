@@ -209,6 +209,42 @@ object ColumnCodec {
     inner
   }
 
+  /** Per-value compressed bodies of a BwtBin-family payload, WITHOUT
+    * decoding them: unwraps HufWrap/NullWrap and slices the container into
+    * its stored `textEncode` bodies (`null` for null-bitmap slots). Returns
+    * `None` when the payload's codec is not per-value (Dict/Rle/Fsst/Raw
+    * chose differently) — callers fall back to a decode + re-encode.
+    *
+    * The contract that makes reuse sound: a body extracted here is exactly
+    * `Pipelines.textEncode(value)` (or `textEncodeFast` under a speed-biased
+    * config) for the value it encodes, and both are deterministic — so
+    * re-containerizing extracted bodies yields byte-identical payloads to a
+    * fresh encode of the same row slice.
+    */
+  def extractBwtBodies(payload: Array[Byte]): Option[Array[Array[Byte]]] =
+    (payload(0) & 0xFF) match {
+      case HufWrap =>
+        extractBwtBodies(
+          Huffman.decompress(java.util.Arrays.copyOfRange(payload, 1, payload.length)))
+      case NullWrap =>
+        val rd = new Bytes.Reader(payload, 1)
+        val n = readCount(rd)
+        val bitmap = rd.readBytes((n + 7) / 8)
+        extractBwtBodies(rd.readBytes(rd.remaining)).map { bodies =>
+          var i = 0
+          while (i < n) {
+            if (((bitmap(i >> 3) >> (i & 7)) & 1) == 1) bodies(i) = null
+            i += 1
+          }
+          bodies
+        }
+      case BwtBin =>
+        val rd = new Bytes.Reader(payload, 1)
+        val n = readCount(rd)
+        Some(Array.fill(n)(rd.readBytes(rd.readVarInt())))
+      case _ => None
+    }
+
   /** Entropy stage: wrap the chosen payload in order-0 Huffman when that
     * shrinks it (codec streams have skewed byte histograms). One cheap
     * pass; never chosen when it loses, so strictly monotone on size.

@@ -181,6 +181,13 @@ object Huffman {
   def decompress(payload: Array[Byte]): Array[Byte] =
     decompressImpl(payload, limit = Int.MaxValue)
 
+  /** Decode only the first `limit` symbols — enough to read a small header
+    * (e.g. a leading varint) out of a compressed stream without paying for
+    * the full decompression.
+    */
+  private[graft] def decompressPrefix(payload: Array[Byte], limit: Int): Array[Byte] =
+    decompressImpl(payload, limit)
+
   private def decompressImpl(payload: Array[Byte], limit: Int): Array[Byte] = {
     val rd = new Bytes.Reader(payload)
     val n0 = rd.readVarInt()

@@ -315,6 +315,47 @@ object Pipelines {
     out
   }
 
+  /** Raw (decoded) length of a [[textEncode]]/[[textEncodeFast]] payload,
+    * WITHOUT decoding it — every tag's stream leads with enough structure
+    * to recover the original length cheaply:
+    *  - tag 0 (MTF+RLE): leading `varint(conceptualLength)`; raw = total-1
+    *    (the BWT sentinel), 0 when total == 0;
+    *  - tag 1 (RLE): run-sum of the varint counts (the 0-marker sentinel
+    *    run contributes the +1 that cancels against the sentinel);
+    *  - tag 2 (raw): the body length;
+    *  - tag 3 (Huffman over MTF+RLE): the inner stream's leading varint,
+    *    read via a bounded-prefix decompress (O(1) symbols, not O(n));
+    *  - tag 4 (Huffman over raw): the Huffman header's own length varint.
+    * This is what lets table compaction re-containerize stored per-value
+    * bodies without re-running any BWT/SA work ([[graft.spark.EncodeJob]]).
+    */
+  def rawLenOf(enc: Array[Byte]): Long = {
+    if (enc.isEmpty) return 0L
+    (enc(0): Int) match {
+      case 0 =>
+        val total = new Bytes.Reader(enc, 1).readVarInt()
+        if (total == 0) 0L else total - 1L
+      case 1 =>
+        val rd = new Bytes.Reader(enc, 1)
+        var sum = 0L
+        while (rd.remaining > 0) {
+          val c = rd.readVarInt()
+          if (c != 0) { sum += c; rd.readByte() } // 0 = sentinel run marker
+        }
+        sum
+      case 3 =>
+        // 10 decoded bytes always covers the leading varint (<= 5 bytes)
+        val prefix = Huffman.decompressPrefix(
+          java.util.Arrays.copyOfRange(enc, 1, enc.length), 10)
+        val total = new Bytes.Reader(prefix).readVarInt()
+        if (total == 0) 0L else total - 1L
+      case 4 =>
+        new Bytes.Reader(enc, 1).readVarInt().toLong // huffman size header
+      case _ =>
+        (enc.length - 1).toLong // tag 2: raw body
+    }
+  }
+
   def textDecode(payload: Array[Byte]): Array[Byte] = {
     if (payload.isEmpty) return Array.emptyByteArray
     val body = java.util.Arrays.copyOfRange(payload, 1, payload.length)

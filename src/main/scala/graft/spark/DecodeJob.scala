@@ -59,6 +59,7 @@ object DecodeJob {
       chunkPred: Column
   ): Dataset[Page] = {
     import spark.implicits._
+    EncodeJob.requireNoPendingSwap(spark, outDir)
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
       .as[EncodedChunk]
@@ -77,8 +78,19 @@ object DecodeJob {
     * at corpus scale use [[decodeUrlRange]] per host/prefix slice or a
     * join against the decoded url column.
     */
+  /** Point-read fan-in cap: the chunk predicate below is an OR of one
+    * range test per url, which grows linearly — fine for point reads,
+    * wrong for sets. Fails loudly past this (like the exact-ANN tier's
+    * cap) instead of silently degrading.
+    */
+  val MaxLookupUrls = 256
+
   def lookupUrls(spark: SparkSession, outDir: String, urls: Seq[String]): Dataset[Page] = {
     import spark.implicits._
+    require(urls.size <= MaxLookupUrls,
+      s"lookupUrls is a point-read API (got ${urls.size} urls, max $MaxLookupUrls): " +
+        "for url sets use decodeUrlRange/decodeUrlPrefix per host/prefix slice, " +
+        "or join against the decoded url column")
     if (urls.isEmpty) return spark.emptyDataset(
       org.apache.spark.sql.Encoders.product[Page])
     // home partition per url, via the exact partIdCol expression the
@@ -159,6 +171,7 @@ object DecodeJob {
       Seq($"url.payload".as("url_p")) ++
         (if (wantTs) Seq($"warc_ts.payload".as("ts_p")) else Nil) ++
         strCols.map(c => col(s"$c.payload").as(s"${c}_p"))
+    EncodeJob.requireNoPendingSwap(spark, outDir)
     spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
   }
 
@@ -195,6 +208,7 @@ object DecodeJob {
     */
   def decodeColumn(spark: SparkSession, outDir: String, colName: String): Dataset[(Int, Int, Int, Array[Byte])] = {
     import spark.implicits._
+    EncodeJob.requireNoPendingSwap(spark, outDir)
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .select($"part_id", $"chunk_id", col(s"$colName.payload").as("payload"))
       .as[(Int, Int, Array[Byte])]

@@ -127,9 +127,12 @@ object EncodeJob {
 
   def readMeta(spark: SparkSession, outDir: String): Option[EncodeMeta] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    // gate on a COMMITTED data file, not directory existence: writeMeta's
+    // SaveMode.Overwrite deletes-then-rewrites _meta on every run, so a
+    // crash in that window leaves an existing-but-empty dir — treating it
+    // as a table would wedge every later run/append/lookup on an
+    // unreadable parquet path, when the right reading is "absent, rewrite"
+    if (!hasCommittedFileUnder(spark, metaPath(outDir))) None
     else Some(spark.read.parquet(metaPath(outDir)).as[EncodeMeta].head())
   }
 
@@ -147,8 +150,11 @@ object EncodeJob {
     * (staging junk under _temporary / .spark-staging and marker files do
     * not count) — the "does this encoded table exist yet" test.
     */
-  private def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(chunksPath(outDir))
+  private def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean =
+    hasCommittedFileUnder(spark, chunksPath(outDir))
+
+  private def hasCommittedFileUnder(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
     val it = fs.listFiles(p, true)
@@ -188,6 +194,7 @@ object EncodeJob {
     import spark.implicits._
 
     requireLayoutMatch(spark, outDir, cfg)
+    completePendingCompactSwap(spark, outDir)
     writeMeta(spark, outDir, cfg)
     val done = donePartIds(spark, outDir)
     val withPart = pages.withColumn("part_id", partIdCol(cfg))
@@ -207,9 +214,11 @@ object EncodeJob {
     // (cheaper than a whole-stage Catalyst sort over the raw bytes)
     val chunks = encodeChunkStream(todo, cfg, r => acc.add(r))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     chunks.toDF()
       .write.mode(SaveMode.Overwrite)
+      // writer-scoped, NOT spark.conf.set: mutating the session conf would
+      // silently change the semantics of the caller's own later overwrites
+      .option("partitionOverwriteMode", "dynamic")
       .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
       .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
       .option("compression", "none") // payloads are already codec-compressed
@@ -227,85 +236,326 @@ object EncodeJob {
     spark.createDataset(records)
   }
 
-  /** Rewrite partitions into fresh optimal layout: decode every chunk of
-    * the selected partitions (default all), re-sort by url, re-slice into
-    * full chunkRows chunks, and replace the partition directories
-    * (dynamic partition overwrite) — the table-maintenance pass that
-    * undoes append fragmentation. After N appends a partition holds up to
-    * N generations of small tail chunks; lookups then probe several
+  def compactTmpPath(outDir: String) = chunksPath(outDir) + "_compact_tmp"
+  private def swapMarkerPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(compactTmpPath(outDir), "_SWAP")
+
+  private def chunksFs(spark: SparkSession, outDir: String) =
+    new org.apache.hadoop.fs.Path(chunksPath(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Rewrite partitions into fresh optimal layout: re-sort each selected
+    * partition's rows by url, re-slice into full chunkRows chunks, and swap
+    * the partition directories — the table-maintenance pass that undoes
+    * append fragmentation. After N appends a partition holds up to N
+    * generations of small tail chunks; lookups then probe several
     * range-overlapping chunks per url and scans pay per-file overhead.
     * Compaction restores the bootstrap layout invariants: one url-sorted
     * chunk sequence per partition with disjoint url ranges. Decode output
-    * is bit-identical before vs after (the kernels are deterministic in
-    * the row set); lineage rows of compacted partitions are REPLACED so
-    * metrics reflect the new layout.
+    * is bit-identical before vs after; lineage rows of compacted
+    * partitions are REPLACED so metrics reflect the new layout.
+    *
+    * Plan shape — NO exchange, and (by default) NO re-compression:
+    *  - each selected partition directory is scanned as its own coalesced
+    *    single-task branch of a union (every page already sits in its home
+    *    partition — part_id is a pure row function — so there is nothing
+    *    to shuffle; the old implementation re-ran the full encode pipeline
+    *    and paid an exchange of every decoded payload);
+    *  - within a task, the stored per-value compressed bodies of text/html
+    *    are EXTRACTED from their containers and re-containerized as-is
+    *    ([[ColumnCodec.extractBwtBodies]]): both the per-value encoder and
+    *    the container are deterministic, so the result is byte-identical
+    *    to a fresh encode of the same rows while skipping all BWT/SA work
+    *    — compaction costs about as much as a decode, not an encode.
+    *    `reencode = true` forces the decode + re-encode path instead (use
+    *    after changing `bwtBias`, to re-run the per-value codec policy);
+    *  - the narrow spillable `sortWithinPartitions` + the streaming kernel
+    *    keep task memory at O(chunkRows) even for an oversized partition.
+    *
+    * Crash safety (write-ahead staging, never in-place): new chunks are
+    * written to `chunks_compact_tmp`; only after that write fully commits
+    * is a `_SWAP` marker (listing the part ids) created and the partition
+    * directories swapped one rename at a time, then lineage is recomputed
+    * and the staging dir removed. A crash BEFORE the marker leaves the
+    * live table untouched (stale staging is discarded on the next write);
+    * a crash AFTER it is rolled forward — the marker proves the staging
+    * dir is complete — by [[completePendingCompactSwap]], which every
+    * write entry point runs first. Readers fail fast on a pending marker
+    * ([[requireNoPendingSwap]]) instead of silently seeing a half-swapped
+    * table.
     */
   def compact(
       spark: SparkSession,
       outDir: String,
       cfg: EncodeConfig = EncodeConfig(),
-      partIds: Option[Seq[Int]] = None
+      partIds: Option[Seq[Int]] = None,
+      reencode: Boolean = false
   ): Dataset[LineageRecord] = {
     import spark.implicits._
     requireLayoutMatch(spark, outDir, cfg)
+    completePendingCompactSwap(spark, outDir)
 
-    val all = spark.read.parquet(chunksPath(outDir))
-    val selected = partIds match {
-      case Some(ps) => all.filter($"part_id".isin(ps: _*))
-      case None => all
+    val fs = chunksFs(spark, outDir)
+    val root = new org.apache.hadoop.fs.Path(chunksPath(outDir))
+    val present: Seq[Int] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("part_id="))
+        .map(_.getPath.getName.stripPrefix("part_id=").toInt)
+        .sorted
+    val selected: Seq[Int] = partIds match {
+      case Some(ps) => present.filter(ps.toSet)
+      case None => present
     }
-    // decode the selected partitions back to pages (narrow map, no
-    // exchange) and re-run the encode pipeline on them. part_id is a pure
-    // row function, so every page re-lands in its original partition.
-    val pages = selected.as[EncodedChunk].mapPartitions { it =>
-      it.flatMap { c =>
-        val urls = ColumnCodec.decodeBinary(c.url.payload)
-        val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
-        val htmls = ColumnCodec.decodeBinaryNullable(c.html.payload)
-        val texts = ColumnCodec.decodeBinaryNullable(c.text.payload)
-        val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
-        def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
-        urls.indices.iterator.map { i =>
-          val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
-          ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
-          Page(new String(urls(i), UTF_8), ts, htmls(i), ns(texts(i)), ns(langs(i)))
-        }
-      }
-    }
-    val withPart = pages.withColumn("part_id", partIdCol(cfg))
+    if (selected.isEmpty) return spark.emptyDataset[LineageRecord]
 
-    val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]
-    spark.sparkContext.register(acc, "graft_lineage_compact")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    encodeChunkStream(withPart, cfg, r => acc.add(r))
-      .toDF()
+    val compacted = compactedChunkStream(spark, outDir, cfg, selected, reencode)
+
+    // --- stage, then swap; never overwrite the live partition dirs in place
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale pre-marker staging
+    compacted.toDF()
       .write.mode(SaveMode.Overwrite)
       .option("parquet.enable.dictionary", "false")
       .option("parquet.block.size", (16 * 1024 * 1024).toString)
       .option("compression", "none")
       .partitionBy("part_id")
-      .parquet(chunksPath(outDir))
+      .parquet(compactTmpPath(outDir))
 
-    import scala.jdk.CollectionConverters._
-    val records = acc.value.asScala.toSeq.distinct
-    // REPLACE the compacted partitions' lineage rows (append would double
-    // the metrics); other partitions' rows are carried over untouched
+    // staging is fully committed; write the swap intent (part id list) —
+    // from here on the swap completes even across a crash (roll-forward)
+    val marker = fs.create(swapMarkerPath(outDir), true)
+    marker.write(selected.mkString(",").getBytes(UTF_8))
+    marker.close()
+
+    val records = finishSwap(spark, outDir, selected)
+    spark.createDataset(records)
+  }
+
+  /** The exchange-free compaction pipeline (separated so tests can assert
+    * on its plan): one coalesced single-task scan branch per partition
+    * directory — all of a part's chunks land in one task with NO exchange
+    * (a plain scan would split/merge tasks across part boundaries; a
+    * repartition would shuffle) — then the narrow extract + spillable
+    * in-partition sort + streaming kernel.
+    */
+  private[spark] def compactedChunkStream(
+      spark: SparkSession,
+      outDir: String,
+      cfg: EncodeConfig,
+      selected: Seq[Int],
+      reencode: Boolean
+  ): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    val leafSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.Encoders.product[EncodedChunk].schema
+        .filterNot(_.name == "part_id"))
+    val chunkRowsDf = selected.map { pid =>
+      spark.read.schema(leafSchema)
+        .parquet(s"${chunksPath(outDir)}/part_id=$pid")
+        .withColumn("part_id", lit(pid))
+        .coalesce(1)
+    }.reduce(_.unionByName(_))
+
+    val bias = cfg.bwtBias
+    val forceReencode = reencode
+    val pre = chunkRowsDf.as[EncodedChunk].mapPartitions { it =>
+      it.flatMap(c => compactPreRows(c, bias, forceReencode))
+    }
+    pre.toDF()
+      .sortWithinPartitions($"_6", $"_1") // narrow: no exchange, spillable
+      .as[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)]
+      .mapPartitions(it => encodePreEncodedSorted(it, cfg.chunkRows, _ => (), bias))
+  }
+
+  /** Partitions fragmented enough to pay for compaction: more committed
+    * chunks than `ceil(rows / chunkRows) + slackChunks`, from a
+    * metadata-only (nested-pruned) scan of the chunks table — the
+    * Iceberg-`rewrite_data_files`-style selection that lets routine
+    * maintenance rewrite only what appends actually fragmented instead of
+    * hand-picked partitions or the whole table.
+    */
+  def fragmentedPartIds(
+      spark: SparkSession,
+      outDir: String,
+      cfg: EncodeConfig = EncodeConfig(),
+      slackChunks: Int = 2
+  ): Seq[Int] = {
+    import spark.implicits._
+    if (!hasCommittedChunks(spark, outDir)) return Seq.empty
+    val chunkRows =
+      readMeta(spark, outDir).map(_.chunkRows).getOrElse(cfg.chunkRows)
+    spark.read.parquet(chunksPath(outDir))
+      .groupBy($"part_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
+      .filter($"n_chunks" > ceil($"n_rows" / lit(chunkRows.toDouble)) + lit(slackChunks))
+      .select($"part_id").as[Int].collect().toSeq.sorted
+  }
+
+  /** Roll forward a compaction swap that crashed after its `_SWAP` marker
+    * was written (the marker proves the staging dir is complete): finish
+    * the remaining renames, recompute the affected lineage rows, drop the
+    * staging dir. Pre-marker staging leftovers are NOT touched here — the
+    * live table is still canonical and [[compact]] discards them on its
+    * next run. Returns true when a pending swap was completed. Called
+    * automatically by every write entry point ([[run]]/[[append]]/
+    * [[compact]]); readers instead fail fast via [[requireNoPendingSwap]].
+    */
+  def completePendingCompactSwap(spark: SparkSession, outDir: String): Boolean = {
+    val fs = chunksFs(spark, outDir)
+    if (!fs.exists(swapMarkerPath(outDir))) return false
+    val markerLen = fs.getFileStatus(swapMarkerPath(outDir)).getLen.toInt
+    val bytes = new Array[Byte](markerLen)
+    val in = fs.open(swapMarkerPath(outDir))
+    try in.readFully(0, bytes) finally in.close()
+    val content = new String(bytes, UTF_8)
+    val parts = content.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    finishSwap(spark, outDir, parts)
+    true
+  }
+
+  /** Readers call this before scanning the chunks table: a pending `_SWAP`
+    * marker means partition directories may be mid-swap (momentarily
+    * missing), so a read could silently drop rows. Repair by re-running
+    * [[compact]] or [[completePendingCompactSwap]] (write entry points do
+    * this automatically).
+    */
+  def requireNoPendingSwap(spark: SparkSession, outDir: String): Unit = {
+    val fs = chunksFs(spark, outDir)
+    require(!fs.exists(swapMarkerPath(outDir)),
+      s"encoded table at $outDir has an interrupted compaction swap pending; " +
+        "run EncodeJob.completePendingCompactSwap (or any write) to repair before reading")
+  }
+
+  /** Swap staged partition dirs into the live table, recompute + replace
+    * the affected lineage rows, and remove the staging dir — the shared
+    * tail of [[compact]] and [[completePendingCompactSwap]]. Idempotent:
+    * a part already swapped (its staged dir gone) is skipped, and lineage
+    * is recomputed from the live chunks table rather than carried through
+    * the crash.
+    */
+  private def finishSwap(
+      spark: SparkSession,
+      outDir: String,
+      parts: Seq[Int]
+  ): Seq[LineageRecord] = {
+    val fs = chunksFs(spark, outDir)
+    parts.foreach { pid =>
+      val staged = new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(chunksPath(outDir), s"part_id=$pid")
+        if (fs.exists(live)) fs.delete(live, true)
+        require(fs.rename(staged, live), s"failed to swap in compacted $live")
+      }
+    }
+    val records = lineageFromChunks(spark, outDir, parts)
+    replaceLineageRows(spark, outDir, parts.toSet, records)
+    // staging dir (and its marker) goes last: until lineage is replaced,
+    // the marker keeps the table in "repair me first" state
+    fs.delete(new org.apache.hadoop.fs.Path(compactTmpPath(outDir)), true)
+    records
+  }
+
+  /** Recompute the lineage rows of `parts` from the live chunks table's
+    * metadata columns alone (nested-pruned scan: codec/bytes/hash leaves,
+    * never a payload). Field-for-field the same aggregation the encode
+    * kernels stream out, so a recomputed row is indistinguishable from an
+    * original one.
+    */
+  private def lineageFromChunks(
+      spark: SparkSession,
+      outDir: String,
+      parts: Seq[Int]
+  ): Seq[LineageRecord] = {
+    import spark.implicits._
+    val cols = Seq("url", "warc_ts", "html", "text", "lang")
+    val scan = spark.read.parquet(chunksPath(outDir)).filter($"part_id".isin(parts: _*))
+    val sums = scan.select(
+        $"part_id", $"n_rows",
+        cols.map(c => col(s"$c.bytes_in")).reduce(_ + _).as("bin"),
+        cols.map(c => col(s"$c.bytes_out")).reduce(_ + _).as("bout"),
+        cols.map(c => col(s"$c.payload_hash")).reduce(_.bitwiseXOR(_)).as("h"))
+      .groupBy($"part_id")
+      .agg(sum($"n_rows").as("n_rows"), count(lit(1)).as("n_chunks"),
+        sum($"bin").as("bin"), sum($"bout").as("bout"),
+        expr("bit_xor(h)").as("h"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    val codecs: Map[Int, String] = scan.select($"part_id",
+        explode(array(cols.map(c => concat(lit(s"$c="), col(s"$c.codec"))): _*)).as("c"))
+      .groupBy($"part_id").agg(collect_set($"c").as("cs"))
+      .as[(Int, Seq[String])].collect()
+      .map { case (pid, cs) => pid -> cs.sorted.mkString(",") }.toMap
+    sums.map { case (pid, nRows, nChunks, bin, bout, h) =>
+      LineageRecord(pid, nRows, nChunks, bin, bout, codecs.getOrElse(pid, ""), h, "done")
+    }.toSeq.sortBy(_.part_id)
+  }
+
+  /** REPLACE `parts`' lineage rows (append would double the metrics);
+    * other partitions' rows are carried over untouched. Write-then-swap so
+    * a crash never leaves the lineage table empty.
+    */
+  private def replaceLineageRows(
+      spark: SparkSession,
+      outDir: String,
+      parts: Set[Int],
+      records: Seq[LineageRecord]
+  ): Unit = {
+    import spark.implicits._
     val lp = new org.apache.hadoop.fs.Path(lineagePath(outDir))
     val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val compactedParts = records.map(_.part_id).toSet
     val kept =
       if (!lfs.exists(lp)) Seq.empty
       else spark.read.parquet(lineagePath(outDir)).as[LineageRecord]
-        .collect().toSeq.filterNot(r => compactedParts.contains(r.part_id))
+        .collect().toSeq.filterNot(r => parts.contains(r.part_id))
     val newLineage = kept ++ records
     if (newLineage.nonEmpty) {
-      // write-then-swap so a crash never leaves the lineage table empty
-      val tmp = lineagePath(outDir) + "_compact_tmp"
+      val tmp = lineagePath(outDir) + "_swap_tmp"
       spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmp)
       lfs.delete(lp, true)
       lfs.rename(new org.apache.hadoop.fs.Path(tmp), lp)
     }
-    spark.createDataset(records)
+  }
+
+  /** One chunk row -> its per-page pre-encoded tuples (the exact input the
+    * streaming kernel consumes). text/html bodies are reused as stored
+    * ([[ColumnCodec.extractBwtBodies]] + the O(1)-ish
+    * [[graft.codec.Pipelines.rawLenOf]] header recovery) unless the stored
+    * codec is not per-value (chunk-level Dict/Rle/Fsst/Raw from a
+    * `mapSidePreEncode = false` table) or `reencode` forces the full
+    * decode + per-value re-encode.
+    */
+  private def compactPreRows(
+      c: EncodedChunk,
+      bias: Double,
+      reencode: Boolean
+  ): Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)] = {
+    val urls = ColumnCodec.decodeBinary(c.url.payload)
+    val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
+    val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
+    def preCol(cc: ColChunk): Array[Array[Byte]] = {
+      if (!reencode) ColumnCodec.extractBwtBodies(cc.payload) match {
+        case Some(bodies) =>
+          return bodies.map { b =>
+            if (b == null) null
+            else {
+              val buf = new graft.codec.Bytes.Buf(b.length + 5)
+              buf.writeVarLong(graft.codec.Pipelines.rawLenOf(b))
+              buf.writeBytes(b)
+              buf.toArray
+            }
+          }
+        case None => ()
+      }
+      ColumnCodec.decodeBinaryNullable(cc.payload).map(v => preEncodeValue(v, bias))
+    }
+    val htmlPre = preCol(c.html)
+    val textPre = preCol(c.text)
+    urls.indices.iterator.map { i =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
+      (new String(urls(i), UTF_8), ts, htmlPre(i), textPre(i),
+        if (langs(i) == null) null else new String(langs(i), UTF_8), c.part_id)
+    }
   }
 
   /** The shared exchange + kernel pipeline of [[run]] and [[append]]:
@@ -373,6 +623,15 @@ object EncodeJob {
     *  - chunk files and lineage rows are APPENDED; re-running the same
     *    delta is a no-op (every url dedupes away, nothing is written).
     *
+    * INSERT-ONLY semantics across batches: within one delta the newest
+    * `warc_ts` row wins, but a url already present in the STORED table
+    * always wins over any later delta row — a re-crawl of a stored url is
+    * dropped, not updated (updating would mean rewriting the covering
+    * chunk files; route deliberate refreshes through [[compact]] after a
+    * delete, or rebuild the partition). The streaming surface
+    * ([[graft.streaming.StreamingEncodeJob.startAppending]]) inherits
+    * exactly this: first successfully-stored version of a url is final.
+    *
     * Returns this append's lineage records (empty if the delta was fully
     * deduplicated).
     */
@@ -385,6 +644,7 @@ object EncodeJob {
     import spark.implicits._
 
     requireLayoutMatch(spark, outDir, cfg)
+    completePendingCompactSwap(spark, outDir)
 
     // intra-delta dedupe FIRST (it applies to the bootstrap path too): a
     // crawler re-delivering the same url WITHIN one batch is as normal as

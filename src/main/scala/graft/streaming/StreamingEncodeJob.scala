@@ -68,6 +68,23 @@ object StreamingEncodeJob {
     * single table that serves [[graft.spark.DecodeJob.lookupUrls]] /
     * `decodeProjected` directly — the landing-zone-to-queryable-table
     * path a continuous crawl actually needs.
+    *
+    * Semantics inherited from [[EncodeJob.append]]: INSERT-ONLY across
+    * batches — the first successfully-stored version of a url is final; a
+    * later re-crawl of the same url in a later micro-batch is dropped, not
+    * updated (within one micro-batch the newest `warc_ts` wins). This is
+    * what makes redelivery-idempotence exact; route deliberate refreshes
+    * through a batch rebuild of the affected partitions.
+    *
+    * `compactEveryBatches = Some(n)` folds table maintenance into the
+    * stream: after every n-th micro-batch, partitions that the appends
+    * actually fragmented ([[EncodeJob.fragmentedPartIds]]) are compacted
+    * in-stream — appends accumulate tail chunks by design, and without
+    * this a long-running stream needs an external maintenance job. The
+    * compaction is the exchange-free partition-local rewrite, and its
+    * write-ahead swap keeps crash-redelivery safe: a batch re-delivered
+    * over a mid-compaction crash first rolls the swap forward (append's
+    * entry point does this), then dedupes as usual.
     */
   def startAppending(
       pages: Dataset[Page],
@@ -75,15 +92,25 @@ object StreamingEncodeJob {
       checkpointDir: String,
       cfg: EncodeConfig = EncodeConfig(),
       trigger: Trigger = Trigger.AvailableNow(),
-      onBatchStart: Long => Unit = _ => ()
+      onBatchStart: Long => Unit = _ => (),
+      compactEveryBatches: Option[Int] = None,
+      compactSlackChunks: Int = 2
   ): StreamingQuery = {
     require(pages.isStreaming, "StreamingEncodeJob.startAppending needs a streaming Dataset[Page]")
+    compactEveryBatches.foreach(n => require(n > 0, s"compactEveryBatches must be > 0: $n"))
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
         onBatchStart(batchId)
-        EncodeJob.append(batch.sparkSession, batch, tableDir, cfg)
+        val spark = batch.sparkSession
+        EncodeJob.append(spark, batch, tableDir, cfg)
+        compactEveryBatches.foreach { n =>
+          if ((batchId + 1) % n == 0) {
+            val frag = EncodeJob.fragmentedPartIds(spark, tableDir, cfg, compactSlackChunks)
+            if (frag.nonEmpty) EncodeJob.compact(spark, tableDir, cfg, Some(frag))
+          }
+        }
         ()
       }
       .start()

@@ -455,6 +455,163 @@ class SparkJobsSpec extends AnyFunSuite {
       spark.createDataset(all.slice(100, 120).toIndexedSeq), out, cfg).collect().isEmpty)
   }
 
+  test("compact emits byte-identical chunks to a fresh encode, with no Exchange in its plan") {
+    import spark.implicits._
+    val out = tmpDir("compact_ident")
+    val fresh = tmpDir("compact_fresh")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 130, partitions = 2).collect()
+
+    EncodeJob.run(spark, spark.createDataset(all.take(100).toIndexedSeq), out, cfg)
+    Seq(100 until 110, 110 until 120, 120 until 130).foreach { r =>
+      EncodeJob.append(spark, spark.createDataset(r.map(all).toIndexedSeq), out, cfg)
+    }
+
+    // the pipeline plan is pure narrow: union of coalesced per-dir scans,
+    // in-partition sort, kernels — no Exchange node anywhere
+    val plan = EncodeJob.compactedChunkStream(spark, out, cfg, Seq(0, 1), reencode = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction plan must not shuffle:\n$plan")
+
+    EncodeJob.compact(spark, out, cfg)
+    // body reuse (no BWT re-run) must reproduce EXACTLY what a fresh
+    // bootstrap encode of the same 130 pages produces — per-chunk,
+    // per-column payload hashes equal, not just decode equality
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), fresh, cfg)
+    assert(chunkHashMap(out) == chunkHashMap(fresh),
+      "compacted chunks must be byte-identical to a fresh encode")
+    // and the recomputed lineage matches the fresh run's kernel-streamed one
+    val a = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect().sortBy(_.part_id).toSeq
+    val b = spark.read.parquet(EncodeJob.lineagePath(fresh))
+      .as[LineageRecord].collect().sortBy(_.part_id).toSeq
+    assert(a == b, s"recomputed lineage diverged:\n$a\nvs\n$b")
+  }
+
+  test("fragmentation-aware compaction rewrites only the fragmented partitions") {
+    import spark.implicits._
+    val out = tmpDir("compact_frag")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 240, partitions = 4).collect()
+    val pidOf: Map[String, Int] = spark.createDataset(all.toIndexedSeq)
+      .withColumn("part_id", EncodeJob.partIdCol(cfg))
+      .select($"url", $"part_id").as[(String, Int)].collect().toMap
+    val targetPid = all.groupBy(p => pidOf(p.url)).maxBy(_._2.length)._1
+    val (target, rest) = all.partition(p => pidOf(p.url) == targetPid)
+    assert(target.length >= 12, s"need enough rows in part $targetPid")
+
+    // bootstrap everything except 9 target-part rows; three tiny appends
+    // fragment ONLY the target partition
+    val held = target.takeRight(9)
+    EncodeJob.run(spark,
+      spark.createDataset((rest ++ target.dropRight(9)).toIndexedSeq), out, cfg)
+    held.grouped(3).foreach { g =>
+      EncodeJob.append(spark, spark.createDataset(g.toIndexedSeq), out, cfg)
+    }
+
+    val frag = EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0)
+    assert(frag == Seq(targetPid),
+      s"only part $targetPid was fragmented, selection said $frag")
+
+    def filesOf(pid: Int): Set[String] = {
+      val d = new java.io.File(s"${EncodeJob.chunksPath(out)}/part_id=$pid")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => s"${f.getName}:${f.length}").toSet
+    }
+    val untouched = (0 until 4).filterNot(_ == targetPid)
+    val before = untouched.map(p => p -> filesOf(p)).toMap
+    val decodedBefore = DecodeJob.run(spark, out).collect().map(_.url).sorted.toSeq
+
+    val rep = EncodeJob.compact(spark, out, cfg, partIds = Some(frag)).collect()
+    assert(rep.map(_.part_id).toSeq == Seq(targetPid))
+    untouched.foreach { p =>
+      assert(filesOf(p) == before(p), s"partition $p must not be rewritten")
+    }
+    assert(DecodeJob.run(spark, out).collect().map(_.url).sorted.toSeq == decodedBefore)
+    // selection is empty once compacted
+    assert(EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0).isEmpty)
+  }
+
+  test("interrupted compaction swap: readers fail fast, writers roll forward") {
+    import spark.implicits._
+    val out = tmpDir("compact_crash")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 80, partitions = 2).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    val before = DecodeJob.run(spark, out).collect()
+      .map(p => (p.url, p.text)).sorted.toSeq
+
+    // manufacture the crash window: staging fully committed (here: a copy
+    // of the live partition dirs), _SWAP marker written, then "crash" after
+    // one live dir was deleted but before its staged replacement renamed in
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(EncodeJob.compactTmpPath(out))
+    (0 until 2).foreach { pid =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(EncodeJob.chunksPath(out), s"part_id=$pid"),
+        fs, new org.apache.hadoop.fs.Path(tmp, s"part_id=$pid"), false, conf)
+    }
+    val marker = fs.create(new org.apache.hadoop.fs.Path(tmp, "_SWAP"), true)
+    marker.write("0,1".getBytes(UTF_8))
+    marker.close()
+    fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.chunksPath(out), "part_id=0"), true)
+
+    // a reader now sees a half-swapped table: it must refuse, not drop rows
+    val ex = intercept[IllegalArgumentException](DecodeJob.run(spark, out).collect())
+    assert(ex.getMessage.contains("interrupted compaction"))
+
+    // any write entry point repairs first; append() here both rolls the
+    // swap forward and then lands its delta
+    val extra = PagesGen.generate(spark, 90, partitions = 2).collect().drop(80)
+    EncodeJob.append(spark, spark.createDataset(extra.toIndexedSeq), out, cfg)
+    assert(!fs.exists(tmp), "staging dir must be gone after roll-forward")
+    val after = DecodeJob.run(spark, out).collect().map(p => (p.url, p.text)).sorted.toSeq
+    assert(after == (before ++ extra.map(p => (p.url, p.text))).sorted.toSeq)
+    // lineage was recomputed for the rolled-forward parts: totals consistent
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    assert(lin.map(_.n_rows).sum == after.length)
+
+    // pre-marker staging junk (crash DURING staging) is inert: readers work
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "part_id=0"))
+    assert(DecodeJob.run(spark, out).count() == after.length)
+    EncodeJob.compact(spark, out, cfg) // and the next compact discards it
+    assert(!fs.exists(tmp))
+  }
+
+  test("lookupUrls rejects url sets beyond the point-read cap") {
+    val out = tmpDir("lookup_cap")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    EncodeJob.run(spark, PagesGen.generate(spark, 40, partitions = 2), out, cfg)
+    val urls = (0 until DecodeJob.MaxLookupUrls + 1).map(i => s"https://h$i.example/")
+    val ex = intercept[IllegalArgumentException](DecodeJob.lookupUrls(spark, out, urls))
+    assert(ex.getMessage.contains("decodeUrlRange"))
+    // at the cap it still works
+    assert(DecodeJob.lookupUrls(spark, out, urls.take(DecodeJob.MaxLookupUrls)).count() == 0)
+  }
+
+  test("an uncommitted _meta dir reads as absent and is rewritten, not wedged") {
+    import spark.implicits._
+    val out = tmpDir("meta_crash")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    val pages = PagesGen.generate(spark, 40, partitions = 2)
+    EncodeJob.run(spark, pages, out, cfg)
+    assert(EncodeJob.readMeta(spark, out).nonEmpty)
+
+    // simulate a crash inside writeMeta's delete-then-rewrite window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.metaPath(out)), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(EncodeJob.metaPath(out)))
+    assert(EncodeJob.readMeta(spark, out).isEmpty, "empty _meta must read as absent")
+    // reads survive (range-only pruning), writes heal the meta table
+    assert(DecodeJob.lookupUrls(spark, out, Seq("https://nope.example/")).count() == 0)
+    EncodeJob.run(spark, pages, out, cfg)
+    assert(EncodeJob.readMeta(spark, out).contains(
+      EncodeJob.EncodeMeta(cfg.numPartitions, cfg.saltFactor, cfg.chunkRows)))
+  }
+
   test("decodeProjected: only requested leaves read; values exact; lookup works after append") {
     import spark.implicits._
     val out = tmpDir("projected")

@@ -101,6 +101,55 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pure-SQL pruned point read: chunk-range + home-partition predicate pushes to the scan") {
+    import spark.implicits._
+    import graft.spark.{DecodeJob, EncodeConfig, EncodeJob, PagesGen}
+    GraftFunctions.register(spark)
+    val out = {
+      val d = java.nio.file.Files.createTempDirectory("graft_sqlprune").toFile
+      d.deleteOnExit(); d.getAbsolutePath + "/out"
+    }
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val pages = PagesGen.generate(spark, 120, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(pages.toIndexedSeq), out, cfg)
+
+    // the README recipe: a SQL user recovers lookupUrls' two-level pruning
+    // with (a) the home partition from the stored _meta numbers and the
+    // documented part_id formula, (b) the url_min/url_max range predicate
+    val target = pages(67)
+    val meta = EncodeJob.readMeta(spark, out).get
+    spark.read.parquet(EncodeJob.chunksPath(out)).createOrReplaceTempView("chunks_sql")
+    val pidSql =
+      s"""cast(pmod(xxhash64(regexp_extract('${target.url}', 'https?://([^/]+)/', 1),
+         |  pmod(xxhash64('${target.url}'), ${meta.saltFactor})), ${meta.numPartitions}) as int)""".stripMargin
+    val homePid = spark.sql(s"SELECT $pidSql AS pid").collect().head.getInt(0)
+    // the SQL formula IS partIdCol — pinned against the Scala expression
+    val scalaPid = Seq(target.url).toDF("url")
+      .select(EncodeJob.partIdCol(cfg).as("pid")).collect().head.getInt(0)
+    assert(homePid == scalaPid, "SQL part_id formula must match partIdCol")
+
+    val q = spark.sql(
+      s"""SELECT p.url, p.text FROM (
+         |  SELECT explode(zip_with(graft_decode_column(url.payload),
+         |                          graft_decode_column(text.payload),
+         |                          (u, t) -> struct(u AS url, t AS text))) AS p
+         |  FROM chunks_sql
+         |  WHERE part_id = $homePid
+         |    AND url_min <= '${target.url}' AND url_max >= '${target.url}'
+         |) q WHERE p.url = '${target.url}'""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("url_min") && plan.contains("url_max"),
+      s"chunk-range predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains(s"part_id = $homePid") || plan.contains("PartitionFilters"),
+      s"home-partition predicate must prune the scan:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == target.text)
+    // and it agrees with the Scala API it mirrors
+    val api = DecodeJob.lookupUrls(spark, out, Seq(target.url)).collect()
+    assert(api.length == 1 && api.head.text == rows.head.getString(1))
+  }
+
   test("type checking rejects wrong input types") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {

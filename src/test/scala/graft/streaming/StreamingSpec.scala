@@ -100,6 +100,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.text == pages(55).text)
   }
 
+  test("startAppending with in-stream compaction: fragmentation stays bounded, lookups stay green") {
+    val pages = (0 until 120).map(i => PagesGen.page(37L, i.toLong, 120, hostSkew = false))
+    val staging = tmp("cmp_stage")
+    val table = tmp("cmp_table")
+    val ckpt = tmp("cmp_ckpt")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    // four slices -> four micro-batches; compaction after every 2nd
+    (0 until 4).foreach { s =>
+      spark.createDataset(pages.slice(s * 30, s * 30 + 30))
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+
+    // crash at batch 2 start — AFTER the first in-stream compaction (end of
+    // batch 1); restart must redeliver batch 2 against the compacted table
+    val q1 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      onBatchStart = id => if (id == 2) sys.error("injected crash before batch 2"),
+      compactEveryBatches = Some(2), compactSlackChunks = 0)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination())
+    val midLookup = graft.spark.DecodeJob.lookupUrls(spark, table, Seq(pages(35).url)).collect()
+    assert(midLookup.length == 1 && midLookup.head.text == pages(35).text,
+      "lookups must work on the mid-stream compacted table")
+
+    val q2 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      compactEveryBatches = Some(2), compactSlackChunks = 0)
+    q2.awaitTermination()
+
+    val decoded = graft.spark.DecodeJob.run(spark, table).collect()
+    assert(decoded.length == 120 && decoded.map(_.url).distinct.length == 120)
+    val byUrl = decoded.map(p => p.url -> p).toMap
+    pages.foreach { p =>
+      val d = byUrl(p.url)
+      assert(d.text == p.text && d.warc_ts == p.warc_ts)
+      assert(java.util.Arrays.equals(d.html, p.html))
+    }
+    // batch 3 (the 4th) ended with a compaction pass: nothing fragmented
+    assert(graft.spark.EncodeJob.fragmentedPartIds(spark, table, cfg, slackChunks = 0).isEmpty,
+      "in-stream compaction must leave no fragmented partitions at a boundary")
+    val hit = graft.spark.DecodeJob.lookupUrls(spark, table, Seq(pages(95).url)).collect()
+    assert(hit.length == 1 && hit.head.text == pages(95).text)
+  }
+
   test("streaming encode: micro-batches run the batch kernel; decode is bit-identical") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val pages = (0 until 120).map(i => PagesGen.page(7L, i.toLong, 120, hostSkew = false))
