@@ -339,7 +339,7 @@ object EncodeJob {
     * repartition would shuffle) — then the narrow extract + spillable
     * in-partition sort + streaming kernel.
     */
-  private[spark] def compactedChunkStream(
+  private[graft] def compactedChunkStream(
       spark: SparkSession,
       outDir: String,
       cfg: EncodeConfig,
