@@ -703,6 +703,67 @@ object SparkEntry {
               |                          (u, t) -> struct(u AS url, t AS text))) AS p
               |  FROM graft_chunks) q
               |""".stripMargin)
+    },
+
+    // --- pure-SQL PRUNED point read (README recipe): home partition from
+    // the _meta numbers via the documented part_id formula + the
+    // url_min/url_max range predicate — the require pins that the
+    // predicate actually reaches the parquet scan (PushedFilters), so a
+    // SQL user gets lookupUrls' two-level pruning, not a full-table decode.
+    "q51_sql_pruned_lookup" -> { (s, dir) =>
+      import s.implicits._
+      graft.sql.GraftFunctions.register(s)
+      val outDir = s"/root/repo/target/sqlprune_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
+        EncodeConfig(numPartitions = 8, chunkRows = 64))
+      val ids = Seq(3L, 77L, 205L)
+      val targets = ids.map(id => s"https://host${id % 7}.example/d/$id")
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 64)
+      val pidByUrl = targets.toDF("url")
+        .select($"url", EncodeJob.partIdCol(cfg).as("pid"))
+        .as[(String, Int)].collect().toMap
+      s.read.parquet(EncodeJob.chunksPath(outDir)).createOrReplaceTempView("graft_chunks_51")
+      val pred = targets.map { u =>
+        s"(part_id = ${pidByUrl(u)} AND url_min <= '$u' AND url_max >= '$u')"
+      }.mkString(" OR ")
+      val urlList = targets.map(u => s"'$u'").mkString(", ")
+      val q = s.sql(
+        s"""SELECT p.url, p.text FROM (
+           |  SELECT explode(zip_with(graft_decode_column(url.payload),
+           |                          graft_decode_column(text.payload),
+           |                          (u, t) -> struct(u AS url, t AS text))) AS p
+           |  FROM graft_chunks_51
+           |  WHERE $pred
+           |) q WHERE p.url IN ($urlList)""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      require(plan.contains("PushedFilters") && plan.contains("url_min"),
+        s"range predicate must reach the parquet scan:\n$plan")
+      q
+    },
+
+    // --- fragmentation-AWARE compaction: the selection reads only chunk
+    // metadata, picks exactly the partitions the appends fragmented, and
+    // the rewrite is the exchange-free partition-local pass; untouched
+    // partitions keep their files. The requires pin selection-then-empty
+    // and the chunk-count shrink; the oracle pins bit-identical content.
+    "q52_compact_fragmented" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/compactfrag_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val pages = pagesFromDocs(s, dir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 4 != 3), outDir, cfg)
+      EncodeJob.append(s, pages.filter(p => hashDocId(p.url) % 4 == 3), outDir, cfg)
+      val frag = EncodeJob.fragmentedPartIds(s, outDir, cfg, slackChunks = 0)
+      require(frag.nonEmpty, "the append must fragment at least one partition")
+      val before = s.read.parquet(EncodeJob.chunksPath(outDir)).count()
+      EncodeJob.compact(s, outDir, cfg, partIds = Some(frag))
+      val after = s.read.parquet(EncodeJob.chunksPath(outDir)).count()
+      require(after < before, s"selective compaction must shrink chunks: $before -> $after")
+      require(EncodeJob.fragmentedPartIds(s, outDir, cfg, slackChunks = 0).isEmpty,
+        "no partition may remain fragmented after the selective pass")
+      DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
     }
   )
 
@@ -848,6 +909,9 @@ object SparkEntry {
     "q48_decode_projected" -> pagesFromDocsOracle("text"),
     "q49_sql_decode_column" -> pagesFromDocsOracle("text"),
     "q50_compact" -> pagesFromDocsOracle("text, lang"),
+    "q51_sql_pruned_lookup" ->
+      pagesFromDocsOracle("text", " WHERE doc_id IN (3, 77, 205)"),
+    "q52_compact_fragmented" -> pagesFromDocsOracle("text, lang"),
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,
