@@ -715,11 +715,10 @@ object SparkEntry {
       graft.sql.GraftFunctions.register(s)
       val outDir = s"/root/repo/target/sqlprune_${math.abs(dir.hashCode)}"
       deleteDir(outDir)
-      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
-        EncodeConfig(numPartitions = 8, chunkRows = 64))
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 64)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir, cfg)
       val ids = Seq(3L, 77L, 205L)
       val targets = ids.map(id => s"https://host${id % 7}.example/d/$id")
-      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 64)
       val pidByUrl = targets.toDF("url")
         .select($"url", EncodeJob.partIdCol(cfg).as("pid"))
         .as[(String, Int)].collect().toMap
@@ -737,8 +736,11 @@ object SparkEntry {
            |  WHERE $pred
            |) q WHERE p.url IN ($urlList)""".stripMargin)
       val plan = q.queryExecution.executedPlan.toString()
-      require(plan.contains("PushedFilters") && plan.contains("url_min"),
-        s"range predicate must reach the parquet scan:\n$plan")
+      // the filter must appear INSIDE the PushedFilters list — every
+      // parquet scan prints "PushedFilters: [...]" (possibly empty), so a
+      // bare contains("PushedFilters") would be vacuously true
+      require("""PushedFilters: \[[^\]]*url_min""".r.findFirstIn(plan).nonEmpty,
+        s"range predicate must reach the parquet scan's PushedFilters:\n$plan")
       q
     },
 

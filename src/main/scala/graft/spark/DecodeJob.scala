@@ -66,6 +66,13 @@ object DecodeJob {
       .mapPartitions(_.flatMap(decodeRow))
   }
 
+  /** Point-read fan-in cap for [[lookupUrls]]: its chunk predicate is an
+    * OR of one range test per url, which grows linearly — fine for point
+    * reads, wrong for sets. Fails loudly past this (like the exact-ANN
+    * tier's cap) instead of silently degrading.
+    */
+  val MaxLookupUrls = 256
+
   /** Point lookup: the pages for exactly these urls (absent urls simply
     * yield no row). Two-level pruning:
     *  - part_id is a pure function of (url, stored EncodeMeta), so each
@@ -78,13 +85,6 @@ object DecodeJob {
     * at corpus scale use [[decodeUrlRange]] per host/prefix slice or a
     * join against the decoded url column.
     */
-  /** Point-read fan-in cap: the chunk predicate below is an OR of one
-    * range test per url, which grows linearly — fine for point reads,
-    * wrong for sets. Fails loudly past this (like the exact-ANN tier's
-    * cap) instead of silently degrading.
-    */
-  val MaxLookupUrls = 256
-
   def lookupUrls(spark: SparkSession, outDir: String, urls: Seq[String]): Dataset[Page] = {
     import spark.implicits._
     require(urls.size <= MaxLookupUrls,

@@ -295,6 +295,15 @@ object EncodeJob {
     requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
 
+    // re-slice with the STORED chunkRows (the layout the table was built
+    // with and fragmentedPartIds measures against) — compacting with a
+    // caller's divergent chunkRows would rewrite the table into a layout
+    // the selection metric permanently disagrees with (every partition
+    // reads as fragmented forever, and an in-stream compaction hook would
+    // re-compact the whole table on every interval without converging)
+    val effCfg = readMeta(spark, outDir)
+      .map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
+
     val fs = chunksFs(spark, outDir)
     val root = new org.apache.hadoop.fs.Path(chunksPath(outDir))
     val present: Seq[Int] =
@@ -309,7 +318,7 @@ object EncodeJob {
     }
     if (selected.isEmpty) return spark.emptyDataset[LineageRecord]
 
-    val compacted = compactedChunkStream(spark, outDir, cfg, selected, reencode)
+    val compacted = compactedChunkStream(spark, outDir, effCfg, selected, reencode)
 
     // --- stage, then swap; never overwrite the live partition dirs in place
     val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
@@ -350,12 +359,23 @@ object EncodeJob {
     val leafSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.Encoders.product[EncodedChunk].schema
         .filterNot(_.name == "part_id"))
-    val chunkRowsDf = selected.map { pid =>
+    // balanced union tree: a left-deep reduce would recurse O(selected)
+    // deep through analysis (stack risk at corpus-scale partition counts);
+    // the per-branch driver listing cost stays O(selected) — which is why
+    // fragmentedPartIds-driven selection, not full-table compaction, is
+    // the intended steady-state maintenance call
+    def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.length == 1) dfs.head
+      else balancedUnion(dfs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toSeq)
+    val chunkRowsDf = balancedUnion(selected.map { pid =>
       spark.read.schema(leafSchema)
         .parquet(s"${chunksPath(outDir)}/part_id=$pid")
         .withColumn("part_id", lit(pid))
         .coalesce(1)
-    }.reduce(_.unionByName(_))
+    })
 
     val bias = cfg.bwtBias
     val forceReencode = reencode
@@ -382,6 +402,9 @@ object EncodeJob {
       slackChunks: Int = 2
   ): Seq[Int] = {
     import spark.implicits._
+    // a half-swapped table would silently mis-count (a mid-swap partition's
+    // rows are missing entirely) — same fail-fast contract as the readers
+    requireNoPendingSwap(spark, outDir)
     if (!hasCommittedChunks(spark, outDir)) return Seq.empty
     val chunkRows =
       readMeta(spark, outDir).map(_.chunkRows).getOrElse(cfg.chunkRows)
@@ -469,30 +492,35 @@ object EncodeJob {
   ): Seq[LineageRecord] = {
     import spark.implicits._
     val cols = Seq("url", "warc_ts", "html", "text", "lang")
-    val scan = spark.read.parquet(chunksPath(outDir)).filter($"part_id".isin(parts: _*))
-    val sums = scan.select(
+    // ONE aggregation job: the five per-column codec strings travel as an
+    // array column and are merged by collect_set-of-arrays (flattened
+    // driver-side) — a separate exploded pass would scan the metadata twice
+    val sums = spark.read.parquet(chunksPath(outDir))
+      .filter($"part_id".isin(parts: _*))
+      .select(
         $"part_id", $"n_rows",
         cols.map(c => col(s"$c.bytes_in")).reduce(_ + _).as("bin"),
         cols.map(c => col(s"$c.bytes_out")).reduce(_ + _).as("bout"),
-        cols.map(c => col(s"$c.payload_hash")).reduce(_.bitwiseXOR(_)).as("h"))
+        cols.map(c => col(s"$c.payload_hash")).reduce(_.bitwiseXOR(_)).as("h"),
+        array(cols.map(c => concat(lit(s"$c="), col(s"$c.codec"))): _*).as("cs"))
       .groupBy($"part_id")
       .agg(sum($"n_rows").as("n_rows"), count(lit(1)).as("n_chunks"),
         sum($"bin").as("bin"), sum($"bout").as("bout"),
-        expr("bit_xor(h)").as("h"))
-      .as[(Int, Long, Long, Long, Long, Long)].collect()
-    val codecs: Map[Int, String] = scan.select($"part_id",
-        explode(array(cols.map(c => concat(lit(s"$c="), col(s"$c.codec"))): _*)).as("c"))
-      .groupBy($"part_id").agg(collect_set($"c").as("cs"))
-      .as[(Int, Seq[String])].collect()
-      .map { case (pid, cs) => pid -> cs.sorted.mkString(",") }.toMap
-    sums.map { case (pid, nRows, nChunks, bin, bout, h) =>
-      LineageRecord(pid, nRows, nChunks, bin, bout, codecs.getOrElse(pid, ""), h, "done")
+        expr("bit_xor(h)").as("h"),
+        collect_set($"cs").as("css"))
+      .as[(Int, Long, Long, Long, Long, Long, Seq[Seq[String]])].collect()
+    sums.map { case (pid, nRows, nChunks, bin, bout, h, css) =>
+      LineageRecord(pid, nRows, nChunks, bin, bout,
+        css.flatten.distinct.sorted.mkString(","), h, "done")
     }.toSeq.sortBy(_.part_id)
   }
 
   /** REPLACE `parts`' lineage rows (append would double the metrics);
     * other partitions' rows are carried over untouched. Write-then-swap so
-    * a crash never leaves the lineage table empty.
+    * a crash never leaves the lineage table empty: if a previous swap
+    * crashed between the delete and the rename, the intact `_swap_tmp` IS
+    * the newest complete table — roll it forward before reading, or the
+    * kept rows of every non-compacted partition would be lost for good.
     */
   private def replaceLineageRows(
       spark: SparkSession,
@@ -502,17 +530,22 @@ object EncodeJob {
   ): Unit = {
     import spark.implicits._
     val lp = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+    val tmpPath = lineagePath(outDir) + "_swap_tmp"
+    val tp = new org.apache.hadoop.fs.Path(tmpPath)
     val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!lfs.exists(lp) && hasCommittedFileUnder(spark, tmpPath)) {
+      require(lfs.rename(tp, lp), s"failed to roll forward lineage swap at $tmpPath")
+    }
     val kept =
       if (!lfs.exists(lp)) Seq.empty
       else spark.read.parquet(lineagePath(outDir)).as[LineageRecord]
         .collect().toSeq.filterNot(r => parts.contains(r.part_id))
     val newLineage = kept ++ records
     if (newLineage.nonEmpty) {
-      val tmp = lineagePath(outDir) + "_swap_tmp"
-      spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmp)
+      if (lfs.exists(tp)) lfs.delete(tp, true)
+      spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmpPath)
       lfs.delete(lp, true)
-      lfs.rename(new org.apache.hadoop.fs.Path(tmp), lp)
+      lfs.rename(tp, lp)
     }
   }
 

@@ -20,6 +20,7 @@ object CompactAb {
     import spark.implicits._
     val base = "/dev/shm/graft_bench/compact_ab"
     val cfg = EncodeConfig(numPartitions = 64, saltFactor = 8)
+    var failed = false
     try {
       val pages = PagesGen.generate(spark, nPages, hostSkew = true, partitions = 64)
         .collect()
@@ -42,10 +43,13 @@ object CompactAb {
               .bitwiseXOR($"lang.payload_hash")).as("h"))
           .as[(Int, Int, Long)].collect().map { case (p, c, h) => (p, c) -> h }.toMap
 
+      // GRAFT_SKIP_REENCODE=1 runs only the reuse arm (for soak-scale rows
+      // where the re-encode arm's cost is the already-measured ~7x)
+      val skipReencode = sys.env.get("GRAFT_SKIP_REENCODE").contains("1")
       val outA = s"$base/reuse"
       val outB = s"$base/reencode"
       buildFragmented(outA)
-      buildFragmented(outB)
+      if (!skipReencode) buildFragmented(outB)
       val frag = EncodeJob.fragmentedPartIds(spark, outA, cfg, slackChunks = 0)
       println(s"COMPACT_AB pages=$nPages fragmented_parts=${frag.size}/${cfg.numPartitions}")
 
@@ -56,13 +60,13 @@ object CompactAb {
       val t0 = System.nanoTime()
       EncodeJob.compact(spark, outA, cfg, Some(frag))
       val reuseSec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      EncodeJob.compact(spark, outB, cfg, Some(frag), reencode = true)
-      val reencSec = (System.nanoTime() - t1) / 1e9
+      val reencSec = if (skipReencode) Double.NaN else {
+        val t1 = System.nanoTime()
+        EncodeJob.compact(spark, outB, cfg, Some(frag), reencode = true)
+        (System.nanoTime() - t1) / 1e9
+      }
 
-      val hA = chunkHashes(outA)
-      val hB = chunkHashes(outB)
-      val identical = hA == hB
+      val identical = skipReencode || chunkHashes(outA) == chunkHashes(outB)
       val bytesIn = spark.read.parquet(EncodeJob.lineagePath(outA))
         .agg(org.apache.spark.sql.functions.sum("bytes_in")).first().getLong(0)
       val gb = bytesIn / 1e9
@@ -72,10 +76,16 @@ object CompactAb {
       // spot decode gate
       val n = DecodeJob.run(spark, outA).count()
       println(s"COMPACT_AB decoded_rows=$n expected=$nPages")
-      if (!identical || n != nPages) { System.err.println("COMPACT_AB GATE FAILED"); sys.exit(1) }
+      // record the failure but exit AFTER the finally (sys.exit here would
+      // skip it and leak the multi-GB /dev/shm tables into later runs)
+      if (!identical || n != nPages) {
+        System.err.println("COMPACT_AB GATE FAILED")
+        failed = true
+      }
     } finally {
       Bench.deleteDir(base)
       spark.stop()
     }
+    if (failed) sys.exit(1)
   }
 }

@@ -580,6 +580,54 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(!fs.exists(tmp))
   }
 
+  test("crashed lineage swap rolls forward; compact re-slices with the STORED chunkRows") {
+    import spark.implicits._
+    val out = tmpDir("lineage_swap")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 160, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.take(120).toIndexedSeq), out, cfg)
+    // two small appends: each adds an undersized tail chunk per partition,
+    // so actual chunks exceed the ideal count and fragmentation is real
+    all.drop(120).grouped(20).foreach { g =>
+      EncodeJob.append(spark, spark.createDataset(g.toIndexedSeq), out, cfg)
+    }
+    val fullLineageRows = spark.read.parquet(EncodeJob.lineagePath(out)).count()
+
+    // simulate a crash inside replaceLineageRows' delete->rename window:
+    // _lineage is gone, the complete _swap_tmp is the only copy
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(EncodeJob.lineagePath(out))
+    val fs = lp.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(EncodeJob.lineagePath(out) + "_swap_tmp")
+    assert(fs.rename(lp, tmp))
+
+    // a partial compact must NOT lose the other partitions' lineage rows
+    // (before the roll-forward fix, kept = empty and only the compacted
+    // partition's row survived)
+    val frag = EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0)
+    assert(frag.nonEmpty)
+    val target = frag.head
+    EncodeJob.compact(spark, out, cfg, partIds = Some(Seq(target)))
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    // the compacted part's rows collapse to one; every OTHER part's rows
+    // must survive the crashed swap (before the roll-forward fix, kept was
+    // empty and only the compacted partition's row remained)
+    assert(lin.count(_.part_id == target) == 1)
+    assert(lin.map(_.part_id).distinct.sorted.toSeq == Seq(0, 1, 2, 3),
+      s"non-compacted partitions' lineage lost: ${lin.toSeq}")
+    assert(lin.map(_.n_rows).sum == 160)
+    assert(lin.length > 4, s"append-generation rows of untouched parts must survive " +
+      s"(got ${lin.length}, full table had $fullLineageRows)")
+
+    // compacting with a DIVERGENT cfg.chunkRows must keep the stored
+    // layout (meta.chunkRows), or the fragmentation metric would read the
+    // whole table as fragmented forever
+    EncodeJob.compact(spark, out, cfg.copy(chunkRows = 4))
+    assert(EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0).isEmpty,
+      "compact must re-slice with the stored chunkRows, not the caller's")
+    assert(DecodeJob.run(spark, out).count() == 160)
+  }
+
   test("lookupUrls rejects url sets beyond the point-read cap") {
     val out = tmpDir("lookup_cap")
     val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)

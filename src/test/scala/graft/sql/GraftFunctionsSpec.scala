@@ -138,10 +138,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
          |    AND url_min <= '${target.url}' AND url_max >= '${target.url}'
          |) q WHERE p.url = '${target.url}'""".stripMargin)
     val plan = q.queryExecution.executedPlan.toString()
-    assert(plan.contains("PushedFilters") &&
-      plan.contains("url_min") && plan.contains("url_max"),
-      s"chunk-range predicate must reach the parquet scan:\n$plan")
-    assert(plan.contains(s"part_id = $homePid") || plan.contains("PartitionFilters"),
+    // filters must appear INSIDE the pushed/partition lists: every parquet
+    // scan prints "PushedFilters: [...]" / "PartitionFilters: [...]" (even
+    // empty), so bare contains() checks would be vacuously true
+    assert("""PushedFilters: \[[^\]]*url_min""".r.findFirstIn(plan).nonEmpty &&
+      """PushedFilters: \[[^\]]*url_max""".r.findFirstIn(plan).nonEmpty,
+      s"chunk-range predicate must reach the parquet scan's PushedFilters:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*part_id""".r.findFirstIn(plan).nonEmpty,
       s"home-partition predicate must prune the scan:\n$plan")
     val rows = q.collect()
     assert(rows.length == 1 && rows.head.getString(1) == target.text)
