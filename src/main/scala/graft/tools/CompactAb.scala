@@ -22,17 +22,23 @@ object CompactAb {
     val cfg = EncodeConfig(numPartitions = 64, saltFactor = 8)
     var failed = false
     try {
-      val pages = PagesGen.generate(spark, nPages, hostSkew = true, partitions = 64)
-        .collect()
+      // deterministic doc-id RANGES, generated distributively — collecting
+      // the corpus to the driver would blow maxResultSize at soak scale
+      def pageRange(from: Long, until: Long) = {
+        import spark.implicits._
+        spark.range(from, until, 1, 64)
+          .map(id => PagesGen.page(42L, id, 100, hostSkew = true))
+      }
       def buildFragmented(out: String): Unit = {
         Bench.deleteDir(out)
         // bootstrap 70%, then three ~10% appends -> tail-chunk fragmentation
-        EncodeJob.run(spark,
-          spark.createDataset(pages.take((nPages * 7 / 10).toInt).toIndexedSeq), out, cfg)
-        val rest = pages.drop((nPages * 7 / 10).toInt).grouped(
-          math.max(1, (nPages / 10).toInt)).toSeq
-        rest.foreach { g =>
-          EncodeJob.append(spark, spark.createDataset(g.toIndexedSeq), out, cfg)
+        val cut = nPages * 7 / 10
+        EncodeJob.run(spark, pageRange(0, cut), out, cfg)
+        val step = math.max(1L, (nPages - cut + 2) / 3)
+        var lo = cut
+        while (lo < nPages) {
+          EncodeJob.append(spark, pageRange(lo, math.min(nPages, lo + step)), out, cfg)
+          lo += step
         }
       }
       def chunkHashes(out: String): Map[(Int, Int), Long] =

@@ -99,6 +99,18 @@ class CompactReuseSpec extends AnyFunSuite {
     assert(rebuilt.sameElements(payload))
   }
 
+  test("extractBwtBodies throws on corrupt containers rather than mis-slicing") {
+    val good = ColumnCodec.encodeBwtValues(Array(bytes("abc" * 200), bytes("def" * 100)))
+    // truncated container: a body length now points past the end
+    intercept[IllegalArgumentException] {
+      ColumnCodec.extractBwtBodies(java.util.Arrays.copyOf(good, good.length / 2))
+    }
+    // corrupt count varint
+    val badCount = good.clone()
+    badCount(1) = 0xFF.toByte; badCount(2) = 0xFF.toByte
+    intercept[IllegalArgumentException](ColumnCodec.extractBwtBodies(badCount))
+  }
+
   test("extractBwtBodies unwraps NullWrap (and declines non-BwtBin codecs)") {
     val long = bytes("a long enough page body to make the bwt pipeline win " * 40)
     val values: Array[Array[Byte]] = Array(long, null, bytes("another body " * 60), null)
