@@ -138,13 +138,18 @@ object EncodeJob {
 
   /** A later write to an existing table must use the same partitioning
     * function, or (part_id, chunk_id) identity and lookup pruning break.
+    * Returns the meta it read so callers don't pay a second _meta scan.
     */
-  private def requireLayoutMatch(spark: SparkSession, outDir: String, cfg: EncodeConfig): Unit =
-    readMeta(spark, outDir).foreach { m =>
+  private def requireLayoutMatch(
+      spark: SparkSession, outDir: String, cfg: EncodeConfig): Option[EncodeMeta] = {
+    val meta = readMeta(spark, outDir)
+    meta.foreach { m =>
       require(m.numPartitions == cfg.numPartitions && m.saltFactor == cfg.saltFactor,
         s"encoded table at $outDir was written with numPartitions=${m.numPartitions}/" +
           s"saltFactor=${m.saltFactor}; this config says ${cfg.numPartitions}/${cfg.saltFactor}")
     }
+    meta
+  }
 
   /** True iff the chunks table has at least one COMMITTED data file
     * (staging junk under _temporary / .spark-staging and marker files do
@@ -268,7 +273,14 @@ object EncodeJob {
     *    to a fresh encode of the same rows while skipping all BWT/SA work
     *    — compaction costs about as much as a decode, not an encode.
     *    `reencode = true` forces the decode + re-encode path instead (use
-    *    after changing `bwtBias`, to re-run the per-value codec policy);
+    *    after changing `bwtBias`, to re-run the per-value codec policy).
+    *    Caveat: body reuse applies to per-value (BwtBin-container)
+    *    payloads — the `mapSidePreEncode = true` default. A table built
+    *    with `mapSidePreEncode = false` whose chunk-level policy picked
+    *    Dict/Rle/Fsst for text/html falls back to decode + per-value
+    *    re-encode for those chunks, converting them to the per-value form
+    *    (full BWT cost for them, and the chunk-level codec choice is not
+    *    re-run — decode stays bit-identical, compressed size may differ);
     *  - the narrow spillable `sortWithinPartitions` + the streaming kernel
     *    keep task memory at O(chunkRows) even for an oversized partition.
     *
@@ -292,7 +304,7 @@ object EncodeJob {
       reencode: Boolean = false
   ): Dataset[LineageRecord] = {
     import spark.implicits._
-    requireLayoutMatch(spark, outDir, cfg)
+    val meta = requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
 
     // re-slice with the STORED chunkRows (the layout the table was built
@@ -301,8 +313,7 @@ object EncodeJob {
     // the selection metric permanently disagrees with (every partition
     // reads as fragmented forever, and an in-stream compaction hook would
     // re-compact the whole table on every interval without converging)
-    val effCfg = readMeta(spark, outDir)
-      .map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
+    val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
 
     val fs = chunksFs(spark, outDir)
     val root = new org.apache.hadoop.fs.Path(chunksPath(outDir))
@@ -356,6 +367,7 @@ object EncodeJob {
       reencode: Boolean
   ): Dataset[EncodedChunk] = {
     import spark.implicits._
+    require(selected.nonEmpty, "compactedChunkStream needs at least one partition")
     val leafSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.Encoders.product[EncodedChunk].schema
         .filterNot(_.name == "part_id"))

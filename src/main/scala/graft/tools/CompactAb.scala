@@ -58,6 +58,10 @@ object CompactAb {
       if (!skipReencode) buildFragmented(outB)
       val frag = EncodeJob.fragmentedPartIds(spark, outA, cfg, slackChunks = 0)
       println(s"COMPACT_AB pages=$nPages fragmented_parts=${frag.size}/${cfg.numPartitions}")
+      if (frag.isEmpty) {
+        println("COMPACT_AB nothing fragmented; nothing to measure")
+        return
+      }
 
       println("COMPACT_AB plan (reuse path):")
       println(EncodeJob.compactedChunkStream(spark, outA, cfg, frag, reencode = false)
