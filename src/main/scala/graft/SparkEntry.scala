@@ -771,6 +771,48 @@ object SparkEntry {
       require(EncodeJob.fragmentedPartIds(s, outDir, cfg, slackChunks = 0).isEmpty,
         "no partition may remain fragmented after the selective pass")
       DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
+    },
+
+    // --- url deletion (takedown / data-subject removal — the lifecycle's
+    // remove verb): home-partition-local rewrite dropping exactly the
+    // requested urls; redelivering the same delete batch is a true no-op
+    // (require-pinned). Oracle = everything except the deleted ids.
+    "q53_delete_urls" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/delete_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir, cfg)
+      val doomed = docs(s, dir).select($"doc_id").as[Long].collect()
+        .filter(_ % 11 == 5)
+        .map(id => s"https://host${id % 7}.example/d/$id").toSeq
+      require(EncodeJob.delete(s, outDir, doomed, cfg).count() > 0,
+        "the delete must rewrite at least one partition")
+      require(EncodeJob.delete(s, outDir, doomed, cfg).count() == 0,
+        "a redelivered delete batch must be a no-op")
+      DecodeJob.run(s, outDir).select($"url", $"text", $"lang")
+    },
+
+    // --- explicit newest-wins refresh (upsert = delete + append): the
+    // escape hatch from append's INSERT-ONLY semantics — a re-crawl
+    // replaces the stored rows instead of being dropped. Oracle rewrites
+    // the refreshed ids' text the same way.
+    "q54_upsert_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/upsert_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir, cfg)
+      val before = DecodeJob.run(s, outDir).count()
+      val delta = pagesFromDocs(s, dir)
+        .filter(p => hashDocId(p.url) % 13 == 2)
+        .map(p => p.copy(
+          warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(3600)),
+          text = if (p.text == null) null else "UPDATED " + p.text))
+      EncodeJob.upsert(s, delta, outDir, cfg)
+      require(DecodeJob.run(s, outDir).count() == before,
+        "upsert must replace rows, not change the row count")
+      DecodeJob.run(s, outDir).select($"url", $"text")
     }
   )
 
@@ -920,6 +962,10 @@ object SparkEntry {
     "q51_sql_pruned_lookup" ->
       pagesFromDocsOracle("text", " WHERE doc_id IN (3, 77, 205)"),
     "q52_compact_fragmented" -> pagesFromDocsOracle("text, lang"),
+    "q53_delete_urls" ->
+      pagesFromDocsOracle("text, lang", " WHERE NOT (doc_id % 11 = 5)"),
+    "q54_upsert_refresh" -> pagesFromDocsOracle(
+      "CASE WHEN doc_id % 13 = 2 THEN 'UPDATED ' || text ELSE text END AS text"),
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

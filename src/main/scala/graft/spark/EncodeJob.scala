@@ -344,12 +344,134 @@ object EncodeJob {
 
     // staging is fully committed; write the swap intent (part id list) —
     // from here on the swap completes even across a crash (roll-forward)
-    val marker = fs.create(swapMarkerPath(outDir), true)
-    marker.write(selected.mkString(",").getBytes(UTF_8))
-    marker.close()
+    // compaction never empties a partition: every selected part's staged
+    // output must exist before the swap intent is recorded
+    selected.foreach { pid =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")),
+        s"staged output missing for part $pid — refusing to swap")
+    }
+    writeSwapMarker(fs, outDir, selected.map(p => (p, false)))
 
-    val records = finishSwap(spark, outDir, selected)
+    val records = finishSwap(spark, outDir, selected.map(p => (p, false)))
     spark.createDataset(records)
+  }
+
+  /** Driver-side url-list bound for [[delete]]/[[upsert]]: the url set is
+    * broadcast to the rewrite tasks and mapped to home partitions on the
+    * driver, so it must stay modest. Corpus-scale removals should batch
+    * (each call is idempotent), and bulk refresh pipelines should prefer
+    * partition rebuilds.
+    */
+  val MaxDeleteUrls = 100000
+
+  /** Remove `urls` from the table — the lifecycle's missing verb (takedown
+    * and data-subject-removal requests are routine against a web corpus).
+    * Partition-local like [[compact]]: only each url's HOME partition is
+    * rewritten (and only if one of its chunks' `[url_min, url_max]` ranges
+    * actually covers the url — deleting absent urls is a no-op that
+    * touches nothing), via the same exchange-free body-reuse pipeline with
+    * the urls filtered out between extract and re-slice. A partition whose
+    * every row is deleted is removed outright (chunk dir + lineage row).
+    * Crash-safe through the same staging + `_SWAP` + roll-forward
+    * machinery ("pid:drop" marker entries record intentional removals).
+    * After a delete, re-ingesting the same url (append/stream) stores it
+    * again — deletion makes the url absent, not banned.
+    */
+  def delete(
+      spark: SparkSession,
+      outDir: String,
+      urls: Seq[String],
+      cfg: EncodeConfig = EncodeConfig()
+  ): Dataset[LineageRecord] = {
+    import spark.implicits._
+    require(urls.size <= MaxDeleteUrls,
+      s"delete is bounded at $MaxDeleteUrls urls per call (got ${urls.size}); batch larger removals")
+    val meta = requireLayoutMatch(spark, outDir, cfg)
+    completePendingCompactSwap(spark, outDir)
+    if (urls.isEmpty || !hasCommittedChunks(spark, outDir))
+      return spark.emptyDataset[LineageRecord]
+    val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
+    val homeCfg = meta.map(m =>
+      EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)).getOrElse(cfg)
+
+    // affected = home partitions that ACTUALLY contain one of their urls.
+    // The chunk url ranges alone over-approximate (a range can straddle an
+    // absent url), so the urls of range-covering chunks are decoded — the
+    // url payload leaf only, exactly append's dedupe scan — making
+    // delete-of-absent a true no-op (routine for redelivered takedown
+    // batches: re-running a delete must not rewrite anything).
+    val targets = urls.distinct.toDF("url")
+      .withColumn("part_id", partIdCol(homeCfg))
+      .select($"url".as("d_url"), $"part_id".as("d_part"))
+    val urlChunks = spark.read.parquet(chunksPath(outDir))
+      .select($"part_id", $"url_min", $"url_max", $"url.payload".as("payload"))
+    val covering = urlChunks.join(targets,
+        urlChunks("part_id") === $"d_part" && $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
+        "left_semi")
+    val stored = covering.select($"part_id", $"payload").as[(Int, Array[Byte])]
+      .flatMap { case (pid, p) =>
+        ColumnCodec.decodeBinary(p).iterator.map(b => (pid, new String(b, UTF_8)))
+      }.toDF("part_id", "url")
+    val affected = stored.join(targets,
+        stored("url") === $"d_url" && stored("part_id") === $"d_part", "left_semi")
+      .select($"part_id").distinct().as[Int].collect().toSeq.sorted
+    if (affected.isEmpty) return spark.emptyDataset[LineageRecord]
+
+    val urlSet = urls.toSet
+    val rewritten = compactedChunkStream(
+      spark, outDir, effCfg, affected, reencode = false, dropUrls = urlSet)
+
+    val fs = chunksFs(spark, outDir)
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    rewritten.toDF()
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .option("compression", "none")
+      .partitionBy("part_id")
+      .parquet(compactTmpPath(outDir))
+
+    // a partition with no staged output was fully emptied by the delete —
+    // record the intent as a drop so roll-forward removes it too
+    val actions = affected.map { pid =>
+      (pid, !fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")))
+    }
+    writeSwapMarker(fs, outDir, actions)
+    val records = finishSwap(spark, outDir, actions)
+    spark.createDataset(records)
+  }
+
+  /** Explicit newest-wins refresh — the escape hatch from [[append]]'s
+    * INSERT-ONLY semantics: the stored versions of the delta's urls are
+    * [[delete]]d, then the delta is [[append]]ed, so the delta's rows win
+    * regardless of what was stored. NOT atomic: the delete commits before
+    * the append, so a concurrent reader can observe the urls absent
+    * in between; a crash in that window is repaired by re-running the same
+    * upsert (the delete of now-absent urls is a no-op and the append
+    * lands). Bounded by [[MaxDeleteUrls]] distinct urls per call.
+    */
+  def upsert(
+      spark: SparkSession,
+      delta: Dataset[Page],
+      outDir: String,
+      cfg: EncodeConfig = EncodeConfig()
+  ): Dataset[LineageRecord] = {
+    import spark.implicits._
+    val urls = delta.select($"url").distinct().as[String].collect().toSeq
+    delete(spark, outDir, urls, cfg)
+    append(spark, delta, outDir, cfg)
+  }
+
+  private def writeSwapMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String,
+      actions: Seq[(Int, Boolean)]
+  ): Unit = {
+    val marker = fs.create(swapMarkerPath(outDir), true)
+    marker.write(actions.map { case (p, drop) => if (drop) s"$p:drop" else s"$p" }
+      .mkString(",").getBytes(UTF_8))
+    marker.close()
   }
 
   /** The exchange-free compaction pipeline (separated so tests can assert
@@ -364,7 +486,8 @@ object EncodeJob {
       outDir: String,
       cfg: EncodeConfig,
       selected: Seq[Int],
-      reencode: Boolean
+      reencode: Boolean,
+      dropUrls: Set[String] = Set.empty
   ): Dataset[EncodedChunk] = {
     import spark.implicits._
     require(selected.nonEmpty, "compactedChunkStream needs at least one partition")
@@ -391,8 +514,10 @@ object EncodeJob {
 
     val bias = cfg.bwtBias
     val forceReencode = reencode
+    val drop = dropUrls // capture the set, not `this`
     val pre = chunkRowsDf.as[EncodedChunk].mapPartitions { it =>
-      it.flatMap(c => compactPreRows(c, bias, forceReencode))
+      val rows = it.flatMap(c => compactPreRows(c, bias, forceReencode))
+      if (drop.isEmpty) rows else rows.filterNot(r => drop.contains(r._1))
     }
     pre.toDF()
       .sortWithinPartitions($"_6", $"_1") // narrow: no exchange, spillable
@@ -444,8 +569,13 @@ object EncodeJob {
     val in = fs.open(swapMarkerPath(outDir))
     try in.readFully(0, bytes) finally in.close()
     val content = new String(bytes, UTF_8)
-    val parts = content.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-    finishSwap(spark, outDir, parts)
+    // marker entries: "<pid>" = swap staged dir in; "<pid>:drop" = the
+    // partition's rewrite produced no rows (delete emptied it) — remove it
+    val actions = content.split(",").filter(_.nonEmpty).toSeq.map { e =>
+      if (e.endsWith(":drop")) (e.stripSuffix(":drop").toInt, true)
+      else (e.toInt, false)
+    }
+    finishSwap(spark, outDir, actions)
     true
   }
 
@@ -462,27 +592,32 @@ object EncodeJob {
         "run EncodeJob.completePendingCompactSwap (or any write) to repair before reading")
   }
 
-  /** Swap staged partition dirs into the live table, recompute + replace
-    * the affected lineage rows, and remove the staging dir — the shared
-    * tail of [[compact]] and [[completePendingCompactSwap]]. Idempotent:
-    * a part already swapped (its staged dir gone) is skipped, and lineage
-    * is recomputed from the live chunks table rather than carried through
-    * the crash.
+  /** Swap staged partition dirs into the live table (or remove partitions
+    * a delete emptied), recompute + replace the affected lineage rows, and
+    * remove the staging dir — the shared tail of [[compact]]/[[delete]]
+    * and [[completePendingCompactSwap]]. Idempotent: a part already
+    * swapped (its staged dir gone) or already dropped is skipped, and
+    * lineage is recomputed from the live chunks table rather than carried
+    * through the crash.
     */
   private def finishSwap(
       spark: SparkSession,
       outDir: String,
-      parts: Seq[Int]
+      actions: Seq[(Int, Boolean)] // (part_id, dropPartition)
   ): Seq[LineageRecord] = {
     val fs = chunksFs(spark, outDir)
-    parts.foreach { pid =>
+    actions.foreach { case (pid, drop) =>
       val staged = new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")
-      if (fs.exists(staged)) {
-        val live = new org.apache.hadoop.fs.Path(chunksPath(outDir), s"part_id=$pid")
+      val live = new org.apache.hadoop.fs.Path(chunksPath(outDir), s"part_id=$pid")
+      if (drop) {
+        if (fs.exists(staged)) fs.delete(staged, true)
+        if (fs.exists(live)) fs.delete(live, true)
+      } else if (fs.exists(staged)) {
         if (fs.exists(live)) fs.delete(live, true)
         require(fs.rename(staged, live), s"failed to swap in compacted $live")
       }
     }
+    val parts = actions.map(_._1)
     val records = lineageFromChunks(spark, outDir, parts)
     replaceLineageRows(spark, outDir, parts.toSet, records)
     // staging dir (and its marker) goes last: until lineage is replaced,
@@ -558,6 +693,9 @@ object EncodeJob {
       spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmpPath)
       lfs.delete(lp, true)
       lfs.rename(tp, lp)
+    } else if (lfs.exists(lp)) {
+      // a delete emptied every partition: stale rows must not survive
+      lfs.delete(lp, true)
     }
   }
 

@@ -628,6 +628,100 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(DecodeJob.run(spark, out).count() == 160)
   }
 
+  test("delete: urls removed partition-locally; untouched partitions keep their files") {
+    import spark.implicits._
+    val out = tmpDir("delete")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 160, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    val pidOf: Map[String, Int] = spark.createDataset(all.toIndexedSeq)
+      .withColumn("part_id", EncodeJob.partIdCol(cfg))
+      .select($"url", $"part_id").as[(String, Int)].collect().toMap
+
+    // delete a handful of urls all living in ONE home partition
+    val targetPid = all.groupBy(p => pidOf(p.url)).maxBy(_._2.length)._1
+    val doomed = all.filter(p => pidOf(p.url) == targetPid).take(5).map(_.url).toSeq
+    def filesOf(pid: Int): Set[String] = {
+      val d = new java.io.File(s"${EncodeJob.chunksPath(out)}/part_id=$pid")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => s"${f.getName}:${f.length}").toSet
+    }
+    val untouched = (0 until 4).filterNot(_ == targetPid)
+    val before = untouched.map(p => p -> filesOf(p)).toMap
+
+    val rep = EncodeJob.delete(spark, out, doomed, cfg).collect()
+    assert(rep.map(_.part_id).toSeq == Seq(targetPid))
+    untouched.foreach(p => assert(filesOf(p) == before(p), s"partition $p must not be rewritten"))
+    val decoded = DecodeJob.run(spark, out).collect()
+    assert(decoded.length == 155)
+    assert(doomed.forall(u => !decoded.exists(_.url == u)))
+    // remaining content bit-identical
+    val expect = all.filterNot(p => doomed.contains(p.url)).map(p => (p.url, p.text)).sorted.toSeq
+    assert(decoded.map(p => (p.url, p.text)).sorted.toSeq == expect)
+    // lineage totals reflect the removal
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    assert(lin.map(_.n_rows).sum == 155)
+    // deleting absent urls is a no-op that rewrites nothing
+    assert(EncodeJob.delete(spark, out, doomed, cfg).collect().isEmpty)
+    // deleted urls can be re-ingested (absent, not banned)
+    EncodeJob.append(spark,
+      spark.createDataset(all.filter(p => doomed.contains(p.url)).toIndexedSeq), out, cfg)
+    assert(DecodeJob.run(spark, out).count() == 160)
+  }
+
+  test("delete: emptying a partition drops its dir and lineage row") {
+    import spark.implicits._
+    val out = tmpDir("delete_all")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 120, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    val pidOf: Map[String, Int] = spark.createDataset(all.toIndexedSeq)
+      .withColumn("part_id", EncodeJob.partIdCol(cfg))
+      .select($"url", $"part_id").as[(String, Int)].collect().toMap
+    val targetPid = all.groupBy(p => pidOf(p.url)).minBy(_._2.length)._1
+    val doomed = all.filter(p => pidOf(p.url) == targetPid).map(_.url).toSeq
+
+    EncodeJob.delete(spark, out, doomed, cfg)
+    assert(!new java.io.File(s"${EncodeJob.chunksPath(out)}/part_id=$targetPid").exists(),
+      "an emptied partition's directory must be removed")
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    assert(!lin.exists(_.part_id == targetPid))
+    assert(DecodeJob.run(spark, out).count() == 120 - doomed.length)
+  }
+
+  test("upsert: delta wins over stored rows; re-running the same upsert is stable") {
+    import spark.implicits._
+    val out = tmpDir("upsert")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 120, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+
+    // plain append of a re-crawl is dropped (insert-only)...
+    val recrawl = all.take(10).map(p => p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(3600)),
+      text = "refreshed " + p.text))
+    assert(EncodeJob.append(spark, spark.createDataset(recrawl.toIndexedSeq), out, cfg)
+      .collect().isEmpty)
+    assert(!DecodeJob.run(spark, out).collect().exists(_.text.startsWith("refreshed ")))
+
+    // ...upsert makes the newer rows win
+    EncodeJob.upsert(spark, spark.createDataset(recrawl.toIndexedSeq), out, cfg)
+    val decoded = DecodeJob.run(spark, out).collect()
+    assert(decoded.length == 120)
+    recrawl.foreach { r =>
+      val d = decoded.find(_.url == r.url).get
+      assert(d.text == r.text && d.warc_ts == r.warc_ts, s"upsert must win for ${r.url}")
+    }
+    // idempotent on redelivery: same upsert again -> same table content
+    EncodeJob.upsert(spark, spark.createDataset(recrawl.toIndexedSeq), out, cfg)
+    val again = DecodeJob.run(spark, out).collect().map(p => (p.url, p.text)).sorted.toSeq
+    assert(again == decoded.map(p => (p.url, p.text)).sorted.toSeq)
+    // untouched rows still bit-identical
+    val keptExpect = all.drop(10).map(p => (p.url, p.text)).sorted.toSeq
+    assert(again.filterNot(t => recrawl.exists(_.url == t._1)) == keptExpect)
+  }
+
   test("lookupUrls rejects url sets beyond the point-read cap") {
     val out = tmpDir("lookup_cap")
     val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
