@@ -86,6 +86,15 @@ object StreamingEncodeJob {
     * over a mid-compaction crash first rolls the swap forward (append's
     * entry point does this), then dedupes as usual.
     */
+  /** `newestWins = true` routes each micro-batch through
+    * [[EncodeJob.upsert]] instead of [[EncodeJob.append]]: a re-crawl of a
+    * stored url REPLACES it (stream-order recency — the last delivered
+    * batch containing a url defines its content) rather than being
+    * dropped. Redelivery stays exactly-once by idempotence: re-upserting
+    * the same batch deletes its own stored rows and re-lands them
+    * byte-identically. Each batch's distinct url count must stay within
+    * [[EncodeJob.MaxDeleteUrls]] — natural for micro-batches.
+    */
   def startAppending(
       pages: Dataset[Page],
       tableDir: String,
@@ -94,7 +103,8 @@ object StreamingEncodeJob {
       trigger: Trigger = Trigger.AvailableNow(),
       onBatchStart: Long => Unit = _ => (),
       compactEveryBatches: Option[Int] = None,
-      compactSlackChunks: Int = 2
+      compactSlackChunks: Int = 2,
+      newestWins: Boolean = false
   ): StreamingQuery = {
     require(pages.isStreaming, "StreamingEncodeJob.startAppending needs a streaming Dataset[Page]")
     compactEveryBatches.foreach(n => require(n > 0, s"compactEveryBatches must be > 0: $n"))
@@ -104,7 +114,8 @@ object StreamingEncodeJob {
       .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
         onBatchStart(batchId)
         val spark = batch.sparkSession
-        EncodeJob.append(spark, batch, tableDir, cfg)
+        if (newestWins) EncodeJob.upsert(spark, batch, tableDir, cfg)
+        else EncodeJob.append(spark, batch, tableDir, cfg)
         compactEveryBatches.foreach { n =>
           if ((batchId + 1) % n == 0) {
             val frag = EncodeJob.fragmentedPartIds(spark, tableDir, cfg, compactSlackChunks)

@@ -143,6 +143,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.text == pages(95).text)
   }
 
+  test("startAppending(newestWins): a later batch's re-crawl replaces the stored row") {
+    val pages = (0 until 60).map(i => PagesGen.page(53L, i.toLong, 60, hostSkew = false))
+    val staging = tmp("up_stage")
+    val table = tmp("up_table")
+    val ckpt = tmp("up_ckpt")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    // batch 1 re-crawls 10 urls of batch 0 with newer content
+    val recrawl = pages.take(10).map(p => p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(3600)),
+      text = "recrawled " + p.text))
+    spark.createDataset(pages.take(40)).coalesce(1).write.mode("append").parquet(staging)
+    spark.createDataset(pages.drop(40) ++ recrawl).coalesce(1)
+      .write.mode("append").parquet(staging)
+
+    val q = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      newestWins = true)
+    q.awaitTermination()
+
+    val decoded = graft.spark.DecodeJob.run(spark, table).collect()
+    assert(decoded.length == 60 && decoded.map(_.url).distinct.length == 60)
+    recrawl.foreach { r =>
+      val d = decoded.find(_.url == r.url).get
+      assert(d.text == r.text && d.warc_ts == r.warc_ts,
+        s"newest-wins stream must replace ${r.url}")
+    }
+    pages.drop(10).foreach { p =>
+      assert(decoded.find(_.url == p.url).get.text == p.text)
+    }
+  }
+
   test("streaming encode: micro-batches run the batch kernel; decode is bit-identical") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val pages = (0 until 120).map(i => PagesGen.page(7L, i.toLong, 120, hostSkew = false))
