@@ -391,29 +391,38 @@ object EncodeJob {
     if (urls.isEmpty || !hasCommittedChunks(spark, outDir))
       return spark.emptyDataset[LineageRecord]
     val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
-    val homeCfg = meta.map(m =>
-      EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)).getOrElse(cfg)
 
-    // affected = home partitions that ACTUALLY contain one of their urls.
+    // affected = partitions that ACTUALLY contain one of the urls.
     // The chunk url ranges alone over-approximate (a range can straddle an
     // absent url), so the urls of range-covering chunks are decoded — the
     // url payload leaf only, exactly append's dedupe scan — making
     // delete-of-absent a true no-op (routine for redelivered takedown
-    // batches: re-running a delete must not rewrite anything).
-    val targets = urls.distinct.toDF("url")
-      .withColumn("part_id", partIdCol(homeCfg))
-      .select($"url".as("d_url"), $"part_id".as("d_part"))
+    // batches: re-running a delete must not rewrite anything). The
+    // home-partition constraint applies only when the STORED meta is
+    // available — computing it from the caller's cfg on a pre-meta table
+    // could map a url to the wrong partition and silently skip it.
+    val targets = meta match {
+      case Some(m) =>
+        val homeCfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
+        urls.distinct.toDF("url")
+          .withColumn("part_id", partIdCol(homeCfg))
+          .select($"url".as("d_url"), $"part_id".as("d_part"))
+      case None =>
+        urls.distinct.toDF("url").select($"url".as("d_url"), lit(null).cast("int").as("d_part"))
+    }
+    val pidMatch = $"d_part".isNull || col("part_id") === $"d_part"
     val urlChunks = spark.read.parquet(chunksPath(outDir))
       .select($"part_id", $"url_min", $"url_max", $"url.payload".as("payload"))
     val covering = urlChunks.join(targets,
-        urlChunks("part_id") === $"d_part" && $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
+        pidMatch && $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
         "left_semi")
     val stored = covering.select($"part_id", $"payload").as[(Int, Array[Byte])]
       .flatMap { case (pid, p) =>
         ColumnCodec.decodeBinary(p).iterator.map(b => (pid, new String(b, UTF_8)))
       }.toDF("part_id", "url")
     val affected = stored.join(targets,
-        stored("url") === $"d_url" && stored("part_id") === $"d_part", "left_semi")
+        stored("url") === $"d_url" && ($"d_part".isNull || stored("part_id") === $"d_part"),
+        "left_semi")
       .select($"part_id").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return spark.emptyDataset[LineageRecord]
 
