@@ -60,6 +60,11 @@ object DecodeJob {
   ): Dataset[Page] = {
     import spark.implicits._
     EncodeJob.requireNoPendingSwap(spark, outDir)
+    // a fully-deleted table has a chunks dir with no data files: that is
+    // an empty table, not an error (scanning it would fail schema
+    // inference)
+    if (!EncodeJob.hasCommittedChunksIn(spark, outDir))
+      return spark.emptyDataset(org.apache.spark.sql.Encoders.product[Page])
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
       .as[EncodedChunk]

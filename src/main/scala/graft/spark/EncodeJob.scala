@@ -158,6 +158,13 @@ object EncodeJob {
   private def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean =
     hasCommittedFileUnder(spark, chunksPath(outDir))
 
+  /** Reader-facing twin of the committed-chunks test ([[graft.spark.DecodeJob]]
+    * treats a data-file-less chunks dir — e.g. after a full-table delete —
+    * as an empty table rather than a scan error).
+    */
+  private[spark] def hasCommittedChunksIn(spark: SparkSession, outDir: String): Boolean =
+    hasCommittedChunks(spark, outDir)
+
   private def hasCommittedFileUnder(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,6 +178,27 @@ object EncodeJob {
           !name.startsWith("_") && !name.startsWith(".")) return true
     }
     false
+  }
+
+  /** The one chunk-parquet writer configuration — shared by every path
+    * that writes chunk rows (bootstrap, append, compaction/delete staging)
+    * so the physical format cannot silently diverge between them.
+    */
+  private def writeChunks(
+      df: DataFrame,
+      path: String,
+      mode: SaveMode,
+      dynamicPartitionOverwrite: Boolean = false
+  ): Unit = {
+    val w = df.write.mode(mode)
+      .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
+      .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
+      .option("compression", "none") // payloads are already codec-compressed
+    // writer-scoped, NOT spark.conf.set: mutating the session conf would
+    // silently change the semantics of the caller's own later overwrites
+    (if (dynamicPartitionOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("part_id")
+      .parquet(path)
   }
 
   /** Part ids already completed according to the lineage table. */
@@ -200,6 +228,15 @@ object EncodeJob {
 
     requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
+    // an emptied table (every partition deleted) keeps zero-row lineage
+    // tombstones so a RESUME cannot resurrect taken-down urls; an explicit
+    // re-bootstrap of the empty table is a new corpus — clear them, or the
+    // "done" rows would make this run skip every partition and write nothing
+    if (!hasCommittedChunks(spark, outDir)) {
+      val lp = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(lp)) lfs.delete(lp, true)
+    }
     writeMeta(spark, outDir, cfg)
     val done = donePartIds(spark, outDir)
     val withPart = pages.withColumn("part_id", partIdCol(cfg))
@@ -219,16 +256,8 @@ object EncodeJob {
     // (cheaper than a whole-stage Catalyst sort over the raw bytes)
     val chunks = encodeChunkStream(todo, cfg, r => acc.add(r))
 
-    chunks.toDF()
-      .write.mode(SaveMode.Overwrite)
-      // writer-scoped, NOT spark.conf.set: mutating the session conf would
-      // silently change the semantics of the caller's own later overwrites
-      .option("partitionOverwriteMode", "dynamic")
-      .option("parquet.enable.dictionary", "false") // payloads are ~MB blobs
-      .option("parquet.block.size", (16 * 1024 * 1024).toString) // bound writer memory
-      .option("compression", "none") // payloads are already codec-compressed
-      .partitionBy("part_id")
-      .parquet(chunksPath(outDir))
+    writeChunks(chunks.toDF(), chunksPath(outDir), SaveMode.Overwrite,
+      dynamicPartitionOverwrite = true)
 
     import scala.jdk.CollectionConverters._
     // distinct: stage retries can double-add; records are deterministic
@@ -334,13 +363,7 @@ object EncodeJob {
     // --- stage, then swap; never overwrite the live partition dirs in place
     val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale pre-marker staging
-    compacted.toDF()
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.enable.dictionary", "false")
-      .option("parquet.block.size", (16 * 1024 * 1024).toString)
-      .option("compression", "none")
-      .partitionBy("part_id")
-      .parquet(compactTmpPath(outDir))
+    writeChunks(compacted.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
 
     // staging is fully committed; write the swap intent (part id list) —
     // from here on the swap completes even across a crash (roll-forward)
@@ -384,11 +407,13 @@ object EncodeJob {
       cfg: EncodeConfig = EncodeConfig()
   ): Dataset[LineageRecord] = {
     import spark.implicits._
-    require(urls.size <= MaxDeleteUrls,
-      s"delete is bounded at $MaxDeleteUrls urls per call (got ${urls.size}); batch larger removals")
+    val distinctUrls = urls.distinct
+    require(distinctUrls.size <= MaxDeleteUrls,
+      s"delete is bounded at $MaxDeleteUrls distinct urls per call " +
+        s"(got ${distinctUrls.size}); batch larger removals")
     val meta = requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
-    if (urls.isEmpty || !hasCommittedChunks(spark, outDir))
+    if (distinctUrls.isEmpty || !hasCommittedChunks(spark, outDir))
       return spark.emptyDataset[LineageRecord]
     val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
 
@@ -400,19 +425,26 @@ object EncodeJob {
     // batches: re-running a delete must not rewrite anything). The
     // home-partition constraint applies only when the STORED meta is
     // available — computing it from the caller's cfg on a pre-meta table
-    // could map a url to the wrong partition and silently skip it.
-    val targets = meta match {
+    // could map a url to the wrong partition and silently skip it. With
+    // meta, the home part ids are known driver-side, so the scan itself is
+    // partition-pruned to the home dirs (the join condition alone would
+    // not push down as a PartitionFilter).
+    val (targets, homePids) = meta match {
       case Some(m) =>
         val homeCfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
-        urls.distinct.toDF("url")
+        val t = distinctUrls.toDF("url")
           .withColumn("part_id", partIdCol(homeCfg))
           .select($"url".as("d_url"), $"part_id".as("d_part"))
+        (t, Some(t.select($"d_part").distinct().as[Int].collect().toSeq))
       case None =>
-        urls.distinct.toDF("url").select($"url".as("d_url"), lit(null).cast("int").as("d_part"))
+        (distinctUrls.toDF("url")
+          .select($"url".as("d_url"), lit(null).cast("int").as("d_part")), None)
     }
     val pidMatch = $"d_part".isNull || col("part_id") === $"d_part"
-    val urlChunks = spark.read.parquet(chunksPath(outDir))
-      .select($"part_id", $"url_min", $"url_max", $"url.payload".as("payload"))
+    val urlChunks = {
+      val scan = spark.read.parquet(chunksPath(outDir))
+      homePids.fold(scan)(ps => scan.filter($"part_id".isin(ps: _*)))
+    }.select($"part_id", $"url_min", $"url_max", $"url.payload".as("payload"))
     val covering = urlChunks.join(targets,
         pidMatch && $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
         "left_semi")
@@ -426,20 +458,14 @@ object EncodeJob {
       .select($"part_id").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return spark.emptyDataset[LineageRecord]
 
-    val urlSet = urls.toSet
+    val urlSet = distinctUrls.toSet
     val rewritten = compactedChunkStream(
       spark, outDir, effCfg, affected, reencode = false, dropUrls = urlSet)
 
     val fs = chunksFs(spark, outDir)
     val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    rewritten.toDF()
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.enable.dictionary", "false")
-      .option("parquet.block.size", (16 * 1024 * 1024).toString)
-      .option("compression", "none")
-      .partitionBy("part_id")
-      .parquet(compactTmpPath(outDir))
+    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
 
     // a partition with no staged output was fully emptied by the delete —
     // record the intent as a drop so roll-forward removes it too
@@ -627,7 +653,19 @@ object EncodeJob {
       }
     }
     val parts = actions.map(_._1)
-    val records = lineageFromChunks(spark, outDir, parts)
+    val live = lineageFromChunks(spark, outDir, parts)
+    // a dropped (fully-deleted) partition keeps a zero-row "done" lineage
+    // TOMBSTONE: donePartIds still lists it, so a later resume-style run()
+    // with the original input does NOT re-encode the partition and
+    // resurrect taken-down urls — deletion durability must not depend on
+    // whether a url shared its partition with surviving rows. (run() on a
+    // fully-emptied table clears tombstones first: an explicit
+    // re-bootstrap is a new corpus.)
+    val havePids = live.map(_.part_id).toSet
+    val tombstones = actions.collect { case (pid, true) if !havePids.contains(pid) =>
+      LineageRecord(pid, 0L, 0L, 0L, 0L, "", 0L, "done")
+    }
+    val records = live ++ tombstones
     replaceLineageRows(spark, outDir, parts.toSet, records)
     // staging dir (and its marker) goes last: until lineage is replaced,
     // the marker keeps the table in "repair me first" state
@@ -647,6 +685,10 @@ object EncodeJob {
       parts: Seq[Int]
   ): Seq[LineageRecord] = {
     import spark.implicits._
+    // a delete can have emptied EVERY partition: scanning a data-file-less
+    // chunks dir would throw (schema inference) with the _SWAP marker
+    // still pending — i.e. a permanently wedged table
+    if (!hasCommittedChunks(spark, outDir)) return Seq.empty
     val cols = Seq("url", "warc_ts", "html", "text", "lang")
     // ONE aggregation job: the five per-column codec strings travel as an
     // array column and are merged by collect_set-of-arrays (flattened
@@ -818,9 +860,9 @@ object EncodeJob {
     * INSERT-ONLY semantics across batches: within one delta the newest
     * `warc_ts` row wins, but a url already present in the STORED table
     * always wins over any later delta row — a re-crawl of a stored url is
-    * dropped, not updated (updating would mean rewriting the covering
-    * chunk files; route deliberate refreshes through [[compact]] after a
-    * delete, or rebuild the partition). The streaming surface
+    * dropped, not updated (updating means rewriting the covering chunk
+    * files; [[upsert]] does exactly that for deliberate refreshes). The
+    * streaming surface
     * ([[graft.streaming.StreamingEncodeJob.startAppending]]) inherits
     * exactly this: first successfully-stored version of a url is final.
     *
@@ -892,15 +934,11 @@ object EncodeJob {
     val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]
     spark.sparkContext.register(acc, "graft_lineage_append")
 
-    encodeChunkStream(newRows, cfg, r => acc.add(r))
-      .map(c => c.copy(chunk_id = c.chunk_id + bcOff.value.getOrElse(c.part_id, 0)))
-      .toDF()
-      .write.mode(SaveMode.Append)
-      .option("parquet.enable.dictionary", "false")
-      .option("parquet.block.size", (16 * 1024 * 1024).toString)
-      .option("compression", "none")
-      .partitionBy("part_id")
-      .parquet(chunksPath(outDir))
+    writeChunks(
+      encodeChunkStream(newRows, cfg, r => acc.add(r))
+        .map(c => c.copy(chunk_id = c.chunk_id + bcOff.value.getOrElse(c.part_id, 0)))
+        .toDF(),
+      chunksPath(outDir), SaveMode.Append)
 
     import scala.jdk.CollectionConverters._
     val records = acc.value.asScala.toSeq.distinct

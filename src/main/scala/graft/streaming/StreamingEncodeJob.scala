@@ -69,12 +69,18 @@ object StreamingEncodeJob {
     * `decodeProjected` directly — the landing-zone-to-queryable-table
     * path a continuous crawl actually needs.
     *
-    * Semantics inherited from [[EncodeJob.append]]: INSERT-ONLY across
-    * batches — the first successfully-stored version of a url is final; a
-    * later re-crawl of the same url in a later micro-batch is dropped, not
-    * updated (within one micro-batch the newest `warc_ts` wins). This is
-    * what makes redelivery-idempotence exact; route deliberate refreshes
-    * through a batch rebuild of the affected partitions.
+    * Default semantics inherited from [[EncodeJob.append]]: INSERT-ONLY
+    * across batches — the first successfully-stored version of a url is
+    * final; a later re-crawl of the same url in a later micro-batch is
+    * dropped, not updated (within one micro-batch the newest `warc_ts`
+    * wins). `newestWins = true` instead routes each micro-batch through
+    * [[EncodeJob.upsert]]: a re-crawl of a stored url REPLACES it
+    * (stream-order recency — the last delivered batch containing a url
+    * defines its content). Redelivery stays exactly-once by idempotence
+    * either way (an upserted batch re-deletes its own stored rows and
+    * re-lands them byte-identically); with newestWins each batch's
+    * distinct url count must stay within [[EncodeJob.MaxDeleteUrls]] —
+    * natural for micro-batches.
     *
     * `compactEveryBatches = Some(n)` folds table maintenance into the
     * stream: after every n-th micro-batch, partitions that the appends
@@ -85,15 +91,6 @@ object StreamingEncodeJob {
     * write-ahead swap keeps crash-redelivery safe: a batch re-delivered
     * over a mid-compaction crash first rolls the swap forward (append's
     * entry point does this), then dedupes as usual.
-    */
-  /** `newestWins = true` routes each micro-batch through
-    * [[EncodeJob.upsert]] instead of [[EncodeJob.append]]: a re-crawl of a
-    * stored url REPLACES it (stream-order recency — the last delivered
-    * batch containing a url defines its content) rather than being
-    * dropped. Redelivery stays exactly-once by idempotence: re-upserting
-    * the same batch deletes its own stored rows and re-lands them
-    * byte-identically. Each batch's distinct url count must stay within
-    * [[EncodeJob.MaxDeleteUrls]] — natural for micro-batches.
     */
   def startAppending(
       pages: Dataset[Page],

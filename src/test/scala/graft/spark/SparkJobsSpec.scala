@@ -670,7 +670,7 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(DecodeJob.run(spark, out).count() == 160)
   }
 
-  test("delete: emptying a partition drops its dir and lineage row") {
+  test("delete: emptying a partition drops its dir; a zero-row tombstone blocks resume resurrection") {
     import spark.implicits._
     val out = tmpDir("delete_all")
     val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
@@ -686,8 +686,37 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"${EncodeJob.chunksPath(out)}/part_id=$targetPid").exists(),
       "an emptied partition's directory must be removed")
     val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
-    assert(!lin.exists(_.part_id == targetPid))
+    val tomb = lin.filter(_.part_id == targetPid)
+    assert(tomb.length == 1 && tomb.head.n_rows == 0 && tomb.head.status == "done",
+      s"an emptied partition must keep a zero-row tombstone, got ${tomb.toSeq}")
     assert(DecodeJob.run(spark, out).count() == 120 - doomed.length)
+
+    // the tombstone makes takedowns durable against resume: re-running the
+    // bootstrap with the ORIGINAL input must NOT resurrect the deleted urls
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    assert(DecodeJob.run(spark, out).count() == 120 - doomed.length,
+      "resume must not re-encode an intentionally-emptied partition")
+  }
+
+  test("delete of EVERY url leaves a readable empty table that can bootstrap again") {
+    import spark.implicits._
+    val out = tmpDir("delete_wipe")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 60, partitions = 2).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+
+    // full wipe: no pending swap left behind, readers see an EMPTY table
+    // (not a schema-inference crash), lineage is all tombstones
+    EncodeJob.delete(spark, out, all.map(_.url).toSeq, cfg)
+    assert(DecodeJob.run(spark, out).count() == 0)
+    assert(DecodeJob.lookupUrls(spark, out, Seq(all.head.url)).count() == 0)
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    assert(lin.nonEmpty && lin.forall(r => r.n_rows == 0 && r.status == "done"))
+
+    // an explicit re-ingest of the empty table is a NEW corpus: the stale
+    // tombstones must not make the bootstrap skip everything
+    EncodeJob.append(spark, spark.createDataset(all.take(30).toIndexedSeq), out, cfg)
+    assert(DecodeJob.run(spark, out).count() == 30)
   }
 
   test("upsert: delta wins over stored rows; re-running the same upsert is stable") {
