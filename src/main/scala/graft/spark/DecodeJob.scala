@@ -177,6 +177,18 @@ object DecodeJob {
         (if (wantTs) Seq($"warc_ts.payload".as("ts_p")) else Nil) ++
         strCols.map(c => col(s"$c.payload").as(s"${c}_p"))
     EncodeJob.requireNoPendingSwap(spark, outDir)
+    if (!EncodeJob.hasCommittedChunksIn(spark, outDir)) {
+      // fully-deleted table: empty, not a scan error
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("url_p",
+          org.apache.spark.sql.types.BinaryType)) ++
+          (if (wantTs) Seq(org.apache.spark.sql.types.StructField("ts_p",
+            org.apache.spark.sql.types.BinaryType)) else Nil) ++
+          strCols.map(c => org.apache.spark.sql.types.StructField(s"${c}_p",
+            org.apache.spark.sql.types.BinaryType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
   }
 
@@ -214,6 +226,8 @@ object DecodeJob {
   def decodeColumn(spark: SparkSession, outDir: String, colName: String): Dataset[(Int, Int, Int, Array[Byte])] = {
     import spark.implicits._
     EncodeJob.requireNoPendingSwap(spark, outDir)
+    if (!EncodeJob.hasCommittedChunksIn(spark, outDir))
+      return spark.emptyDataset[(Int, Int, Int, Array[Byte])]
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .select($"part_id", $"chunk_id", col(s"$colName.payload").as("payload"))
       .as[(Int, Int, Array[Byte])]

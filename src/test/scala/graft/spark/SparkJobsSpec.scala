@@ -710,6 +710,8 @@ class SparkJobsSpec extends AnyFunSuite {
     EncodeJob.delete(spark, out, all.map(_.url).toSeq, cfg)
     assert(DecodeJob.run(spark, out).count() == 0)
     assert(DecodeJob.lookupUrls(spark, out, Seq(all.head.url)).count() == 0)
+    assert(DecodeJob.decodeColumn(spark, out, "text").count() == 0)
+    assert(DecodeJob.decodeProjected(spark, out, Seq("text")).count() == 0)
     val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
     assert(lin.nonEmpty && lin.forall(r => r.n_rows == 0 && r.status == "done"))
 
