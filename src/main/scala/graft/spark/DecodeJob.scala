@@ -63,7 +63,7 @@ object DecodeJob {
     // a fully-deleted table has a chunks dir with no data files: that is
     // an empty table, not an error (scanning it would fail schema
     // inference)
-    if (!EncodeJob.hasCommittedChunksIn(spark, outDir))
+    if (!EncodeJob.hasCommittedChunks(spark, outDir))
       return spark.emptyDataset(org.apache.spark.sql.Encoders.product[Page])
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
@@ -172,24 +172,22 @@ object DecodeJob {
     require(cols.nonEmpty && cols.forall(valid), s"cols must be among $valid: $cols")
     val wantTs = cols.contains("warc_ts")
     val strCols = cols.filterNot(_ == "warc_ts")
-    val selected =
-      Seq($"url.payload".as("url_p")) ++
-        (if (wantTs) Seq($"warc_ts.payload".as("ts_p")) else Nil) ++
-        strCols.map(c => col(s"$c.payload").as(s"${c}_p"))
+    // one (source column -> output name) list drives both the projection
+    // and the empty-table schema, so the two shapes cannot diverge
+    val outCols: Seq[(String, String)] =
+      Seq("url.payload" -> "url_p") ++
+        (if (wantTs) Seq("warc_ts.payload" -> "ts_p") else Nil) ++
+        strCols.map(c => s"$c.payload" -> s"${c}_p")
     EncodeJob.requireNoPendingSwap(spark, outDir)
-    if (!EncodeJob.hasCommittedChunksIn(spark, outDir)) {
+    if (!EncodeJob.hasCommittedChunks(spark, outDir)) {
       // fully-deleted table: empty, not a scan error
-      val schema = org.apache.spark.sql.types.StructType(
-        Seq(org.apache.spark.sql.types.StructField("url_p",
-          org.apache.spark.sql.types.BinaryType)) ++
-          (if (wantTs) Seq(org.apache.spark.sql.types.StructField("ts_p",
-            org.apache.spark.sql.types.BinaryType)) else Nil) ++
-          strCols.map(c => org.apache.spark.sql.types.StructField(s"${c}_p",
-            org.apache.spark.sql.types.BinaryType)))
+      import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outCols.map { case (_, n) => StructField(n, BinaryType) }))
     }
-    spark.read.parquet(EncodeJob.chunksPath(outDir)).select(selected: _*)
+    spark.read.parquet(EncodeJob.chunksPath(outDir))
+      .select(outCols.map { case (src, n) => col(src).as(n) }: _*)
   }
 
   def decodeProjected(spark: SparkSession, outDir: String, cols0: Seq[String]): org.apache.spark.sql.DataFrame = {
@@ -226,7 +224,7 @@ object DecodeJob {
   def decodeColumn(spark: SparkSession, outDir: String, colName: String): Dataset[(Int, Int, Int, Array[Byte])] = {
     import spark.implicits._
     EncodeJob.requireNoPendingSwap(spark, outDir)
-    if (!EncodeJob.hasCommittedChunksIn(spark, outDir))
+    if (!EncodeJob.hasCommittedChunks(spark, outDir))
       return spark.emptyDataset[(Int, Int, Int, Array[Byte])]
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .select($"part_id", $"chunk_id", col(s"$colName.payload").as("payload"))

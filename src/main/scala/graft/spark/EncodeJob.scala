@@ -155,15 +155,8 @@ object EncodeJob {
     * (staging junk under _temporary / .spark-staging and marker files do
     * not count) — the "does this encoded table exist yet" test.
     */
-  private def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean =
+  private[spark] def hasCommittedChunks(spark: SparkSession, outDir: String): Boolean =
     hasCommittedFileUnder(spark, chunksPath(outDir))
-
-  /** Reader-facing twin of the committed-chunks test ([[graft.spark.DecodeJob]]
-    * treats a data-file-less chunks dir — e.g. after a full-table delete —
-    * as an empty table rather than a scan error).
-    */
-  private[spark] def hasCommittedChunksIn(spark: SparkSession, outDir: String): Boolean =
-    hasCommittedChunks(spark, outDir)
 
   private def hasCommittedFileUnder(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -228,15 +221,6 @@ object EncodeJob {
 
     requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
-    // an emptied table (every partition deleted) keeps zero-row lineage
-    // tombstones so a RESUME cannot resurrect taken-down urls; an explicit
-    // re-bootstrap of the empty table is a new corpus — clear them, or the
-    // "done" rows would make this run skip every partition and write nothing
-    if (!hasCommittedChunks(spark, outDir)) {
-      val lp = new org.apache.hadoop.fs.Path(lineagePath(outDir))
-      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (lfs.exists(lp)) lfs.delete(lp, true)
-    }
     writeMeta(spark, outDir, cfg)
     val done = donePartIds(spark, outDir)
     val withPart = pages.withColumn("part_id", partIdCol(cfg))
@@ -432,10 +416,13 @@ object EncodeJob {
     val (targets, homePids) = meta match {
       case Some(m) =>
         val homeCfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
-        val t = distinctUrls.toDF("url")
+        // evaluate partIdCol ONCE, driver-side (lookupUrls' pattern): the
+        // pairs feed both the join targets and the scan's partition filter
+        val pairs = distinctUrls.toDF("url")
           .withColumn("part_id", partIdCol(homeCfg))
-          .select($"url".as("d_url"), $"part_id".as("d_part"))
-        (t, Some(t.select($"d_part").distinct().as[Int].collect().toSeq))
+          .as[(String, Int)].collect()
+        (spark.createDataset(pairs.toIndexedSeq).toDF("d_url", "d_part"),
+          Some(pairs.map(_._2).distinct.toSeq))
       case None =>
         (distinctUrls.toDF("url")
           .select($"url".as("d_url"), lit(null).cast("int").as("d_part")), None)
@@ -903,32 +890,49 @@ object EncodeJob {
     // parquet path) and NOT a _SUCCESS marker (the dynamic-partition-
     // overwrite commit run() uses writes none). run()'s Overwrite clears
     // staging leftovers.
-    if (!hasCommittedChunks(spark, outDir)) return run(spark, deduped, outDir, cfg)
+    val hasChunks = hasCommittedChunks(spark, outDir)
+    // a dir with neither committed chunks nor meta is a NEW table: the
+    // initial encode. A table with meta but no chunks is a WIPED table
+    // (every partition deleted): new data lands through the normal
+    // incremental path below with the stored-url scan skipped — routing it
+    // through run() would let the wipe's zero-row lineage tombstones skip
+    // every partition and silently drop the delta, and clearing the
+    // tombstones instead would let a resume-style run() resurrect
+    // taken-down urls. Tombstones are strict: only removing the table dir
+    // itself starts a new corpus.
+    if (!hasChunks && readMeta(spark, outDir).isEmpty)
+      return run(spark, deduped, outDir, cfg)
 
     // --- dedupe against the stored table via per-chunk url ranges (nested
     // pruning: only the url payload leaf is read, never html/text)
-    val urlChunks = spark.read.parquet(chunksPath(outDir))
-      .select($"part_id", $"chunk_id", $"url_min", $"url_max", $"url.payload".as("payload"))
-    val deltaKeys = withPart.select($"url".as("d_url"), $"part_id".as("d_part"))
-    val candidateChunks = urlChunks.join(deltaKeys,
-        urlChunks("part_id") === $"d_part" &&
-          $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
-        "left_semi")
-    val existingUrls = candidateChunks.select($"payload").as[Array[Byte]]
-      .flatMap(p => ColumnCodec.decodeBinary(p).iterator.map(new String(_, UTF_8)))
-      .toDF("url")
-    val newRows = withPart.join(existingUrls, Seq("url"), "left_anti")
-      // join reorders columns (join key first); restore kernel column order
+    val newRows = if (!hasChunks) withPart.toDF()
       .select("url", "warc_ts", "html", "text", "lang", "part_id")
+    else {
+      val urlChunks = spark.read.parquet(chunksPath(outDir))
+        .select($"part_id", $"chunk_id", $"url_min", $"url_max", $"url.payload".as("payload"))
+      val deltaKeys = withPart.select($"url".as("d_url"), $"part_id".as("d_part"))
+      val candidateChunks = urlChunks.join(deltaKeys,
+          urlChunks("part_id") === $"d_part" &&
+            $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
+          "left_semi")
+      val existingUrls = candidateChunks.select($"payload").as[Array[Byte]]
+        .flatMap(p => ColumnCodec.decodeBinary(p).iterator.map(new String(_, UTF_8)))
+        .toDF("url")
+      withPart.join(existingUrls, Seq("url"), "left_anti")
+        // join reorders columns (join key first); restore kernel column order
+        .select("url", "warc_ts", "html", "text", "lang", "part_id")
+    }
 
     // --- chunk-id offsets: max existing chunk_id + 1 per part, from the
     // CHUNKS table (metadata-only, column-pruned scan) rather than the
     // lineage table: chunk files commit before lineage rows, so after a
     // crash in that window the lineage undercounts and a lineage-derived
     // offset would reuse an orphaned chunk's (part_id, chunk_id) key
-    val offsets: Map[Int, Int] = spark.read.parquet(chunksPath(outDir))
-      .groupBy($"part_id").agg(max($"chunk_id").as("m"))
-      .as[(Int, Int)].collect().map { case (pid, m) => pid -> (m + 1) }.toMap
+    val offsets: Map[Int, Int] =
+      if (!hasChunks) Map.empty
+      else spark.read.parquet(chunksPath(outDir))
+        .groupBy($"part_id").agg(max($"chunk_id").as("m"))
+        .as[(Int, Int)].collect().map { case (pid, m) => pid -> (m + 1) }.toMap
     val bcOff = spark.sparkContext.broadcast(offsets)
 
     val acc = new org.apache.spark.util.CollectionAccumulator[LineageRecord]

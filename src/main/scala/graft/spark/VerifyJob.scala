@@ -74,8 +74,15 @@ object VerifyJob {
     val rawBytes = costs.getLong(0)
     val refBytes = costs.getLong(1)
 
-    val encodedTextBytes = spark.read.parquet(EncodeJob.chunksPath(outDir))
-      .agg(sum($"text.bytes_out")).first().getLong(0)
+    // a fully-deleted table has no data files (and an empty scan would
+    // sum to null): verify must be able to confirm a wipe emptied it
+    val encodedTextBytes =
+      if (!EncodeJob.hasCommittedChunks(spark, outDir)) 0L
+      else {
+        val r = spark.read.parquet(EncodeJob.chunksPath(outDir))
+          .agg(sum($"text.bytes_out")).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
 
     VerifyReport(
       rows_source = pages.count(),

@@ -715,8 +715,14 @@ class SparkJobsSpec extends AnyFunSuite {
     val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
     assert(lin.nonEmpty && lin.forall(r => r.n_rows == 0 && r.status == "done"))
 
-    // an explicit re-ingest of the empty table is a NEW corpus: the stale
-    // tombstones must not make the bootstrap skip everything
+    // tombstones are STRICT: a resume-style re-run of the ORIGINAL input
+    // must not resurrect anything, even when every partition was wiped
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    assert(DecodeJob.run(spark, out).count() == 0,
+      "resume must not resurrect a fully-wiped table")
+
+    // but NEW data (append/stream) still lands through the incremental
+    // path — the wiped table keeps working as a live table
     EncodeJob.append(spark, spark.createDataset(all.take(30).toIndexedSeq), out, cfg)
     assert(DecodeJob.run(spark, out).count() == 30)
   }
