@@ -645,9 +645,9 @@ object EncodeJob {
     // TOMBSTONE: donePartIds still lists it, so a later resume-style run()
     // with the original input does NOT re-encode the partition and
     // resurrect taken-down urls — deletion durability must not depend on
-    // whether a url shared its partition with surviving rows. (run() on a
-    // fully-emptied table clears tombstones first: an explicit
-    // re-bootstrap is a new corpus.)
+    // whether a url shared its partition with surviving rows. Tombstones
+    // are strict: only removing the table directory starts a new corpus
+    // (new data still lands via append's wiped-table path).
     val havePids = live.map(_.part_id).toSet
     val tombstones = actions.collect { case (pid, true) if !havePids.contains(pid) =>
       LineageRecord(pid, 0L, 0L, 0L, 0L, "", 0L, "done")
@@ -881,26 +881,24 @@ object EncodeJob {
       .select("url", "warc_ts", "html", "text", "lang").as[Page]
     val withPart = deduped.withColumn("part_id", partIdCol(cfg))
 
-    // bootstrapping: appending to a dir with no COMMITTED chunks yet IS
-    // the initial encode (the natural way to start an incrementally-built
-    // table). The gate is "at least one committed data file", NOT bare dir
-    // existence (a crash during the bootstrap write leaves the dir with
-    // only _temporary/.spark-staging junk, and treating that as an
-    // existing table would wedge every redelivery on an unreadable
-    // parquet path) and NOT a _SUCCESS marker (the dynamic-partition-
-    // overwrite commit run() uses writes none). run()'s Overwrite clears
-    // staging leftovers.
+    // Bootstrap vs wiped-table routing. A dir with no committed chunks is
+    // either a NEW table (the initial encode — the natural way to start an
+    // incrementally-built table) or a WIPED one (every partition deleted).
+    // The distinction matters because run()'s resume skip would let a
+    // wipe's zero-row lineage tombstones silently drop the delta, while
+    // clearing the tombstones instead would let a resume-style run()
+    // resurrect taken-down urls — so a wiped table takes the normal
+    // incremental path below with the stored-url scan and offsets skipped.
+    // "New" means: no committed data file (staging junk from a crashed
+    // bootstrap attempt does not count, and run()'s Overwrite clears it;
+    // no _SUCCESS check — dynamic-partition-overwrite commits write none),
+    // AND no meta, AND no lineage rows — meta alone would misclassify a
+    // pre-meta legacy table (or one whose _meta died in writeMeta's
+    // delete-then-rewrite window) whose tombstones would then swallow the
+    // delta inside run().
     val hasChunks = hasCommittedChunks(spark, outDir)
-    // a dir with neither committed chunks nor meta is a NEW table: the
-    // initial encode. A table with meta but no chunks is a WIPED table
-    // (every partition deleted): new data lands through the normal
-    // incremental path below with the stored-url scan skipped — routing it
-    // through run() would let the wipe's zero-row lineage tombstones skip
-    // every partition and silently drop the delta, and clearing the
-    // tombstones instead would let a resume-style run() resurrect
-    // taken-down urls. Tombstones are strict: only removing the table dir
-    // itself starts a new corpus.
-    if (!hasChunks && readMeta(spark, outDir).isEmpty)
+    if (!hasChunks && readMeta(spark, outDir).isEmpty &&
+        donePartIds(spark, outDir).isEmpty)
       return run(spark, deduped, outDir, cfg)
 
     // --- dedupe against the stored table via per-chunk url ranges (nested

@@ -71,8 +71,9 @@ object VerifyJob {
         }
       }
     }.toDF("raw", "ref").agg(sum($"raw"), sum($"ref")).first()
-    val rawBytes = costs.getLong(0)
-    val refBytes = costs.getLong(1)
+    // an empty source dataset sums to null (e.g. confirming a full wipe)
+    val rawBytes = if (costs.isNullAt(0)) 0L else costs.getLong(0)
+    val refBytes = if (costs.isNullAt(1)) 0L else costs.getLong(1)
 
     // a fully-deleted table has no data files (and an empty scan would
     // sum to null): verify must be able to confirm a wipe emptied it

@@ -721,10 +721,20 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(DecodeJob.run(spark, out).count() == 0,
       "resume must not resurrect a fully-wiped table")
 
-    // but NEW data (append/stream) still lands through the incremental
-    // path — the wiped table keeps working as a live table
+    // verify can confirm the wipe (empty source + empty table: no NPE)
+    val rep = VerifyJob.run(spark,
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[Page]), out)
+    assert(rep.rows_decoded == 0 && rep.mismatched_rows == 0 && rep.size_gate_ok)
+
+    // even with _meta lost (legacy / writeMeta crash window), new data
+    // must land — the tombstones must not misroute the delta into run()'s
+    // done-skip where it would silently vanish
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.metaPath(out)), true)
     EncodeJob.append(spark, spark.createDataset(all.take(30).toIndexedSeq), out, cfg)
-    assert(DecodeJob.run(spark, out).count() == 30)
+    assert(DecodeJob.run(spark, out).count() == 30,
+      "append into a wiped meta-less table must not lose the delta")
   }
 
   test("upsert: delta wins over stored rows; re-running the same upsert is stable") {
