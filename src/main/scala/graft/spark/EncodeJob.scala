@@ -173,6 +173,97 @@ object EncodeJob {
     false
   }
 
+  // ---------------------------------------------------------- writer lease
+
+  /** The single-writer lease file. Every write entry point ([[run]]/
+    * [[append]]/[[compact]]/[[delete]]/[[upsert]]/
+    * [[completePendingCompactSwap]]) holds it for the duration of the
+    * call: the engine's write machinery assumes ONE writer (two concurrent
+    * appends would read the same chunk-id offsets and collide on
+    * `(part_id, chunk_id)`; a compact racing an append can swap away
+    * chunks the append deduped against — the optimistic-snapshot-commit
+    * protection Iceberg would provide has no emulation here), so
+    * concurrent misuse must fail LOUDLY instead of corrupting the table.
+    * Readers are not locked (single-writer / multi-reader).
+    */
+  def writerLockPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir, "_writer.lock")
+
+  /** A lease this much older than now is presumed orphaned by a dead
+    * writer (the holder releases in a `finally`, so only a JVM kill
+    * strands one) and is broken automatically on the next acquisition.
+    */
+  val StaleWriterLockMs: Long = 30L * 60 * 1000
+
+  // reentrancy registry (qualified lock path -> holding thread): upsert's
+  // inner delete/append and append's bootstrap run() re-enter the lease
+  // they already hold instead of deadlocking on their own lock file
+  private val heldLocks = new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Manually clear an orphaned writer lease (a crashed writer's lock also
+    * goes stale on its own after [[StaleWriterLockMs]]). Returns true if a
+    * lock file was removed.
+    */
+  def breakWriterLock(spark: SparkSession, outDir: String): Boolean = {
+    val fs = chunksFs(spark, outDir)
+    fs.delete(writerLockPath(outDir), false)
+  }
+
+  /** Acquire the writer lease (atomic create-no-overwrite of the lock
+    * file), run `body`, release. Reentrant per thread. Acquisition of a
+    * held lease fails with a named error rather than blocking — the
+    * caller's orchestration is wrong, and waiting would only serialize the
+    * corruption hazard, not remove it.
+    */
+  private[graft] def withWriterLock[T](spark: SparkSession, outDir: String)(body: => T): T = {
+    val fs = chunksFs(spark, outDir)
+    val lock = writerLockPath(outDir)
+    val key = fs.makeQualified(lock).toString
+    val me = Thread.currentThread()
+    if (heldLocks.get(key) eq me) return body // reentrant inner call
+    def tryAcquire(): Boolean =
+      try {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+        val out = fs.create(lock, false) // atomic: fails if the file exists
+        out.write((s"app=${spark.sparkContext.applicationId} thread=${me.getName} " +
+          s"ts=${System.currentTimeMillis()}").getBytes(UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
+        catch { case _: java.io.FileNotFoundException => true } // holder just released
+      if (stale) {
+        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired) {
+      val holder =
+        try {
+          val st = fs.getFileStatus(lock)
+          val buf = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(lock)
+          try in.readFully(0, buf) finally in.close()
+          new String(buf, UTF_8)
+        } catch { case _: java.io.IOException => "unreadable" }
+      throw new IllegalStateException(
+        s"another writer holds the lease on encoded table $outDir [$holder]: " +
+          "concurrent writes are unsupported (chunk-id allocation and the _SWAP " +
+          "machinery assume a single writer) — if the holder is dead, " +
+          "EncodeJob.breakWriterLock clears the lease (it also goes stale after " +
+          s"${StaleWriterLockMs / 60000} min)")
+    }
+    heldLocks.put(key, me)
+    try body
+    finally {
+      heldLocks.remove(key)
+      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** The one chunk-parquet writer configuration — shared by every path
     * that writes chunk rows (bootstrap, append, compaction/delete staging)
     * so the physical format cannot silently diverge between them.
@@ -216,7 +307,7 @@ object EncodeJob {
       pages: Dataset[Page],
       outDir: String,
       cfg: EncodeConfig = EncodeConfig()
-  ): Dataset[LineageRecord] = {
+  ): Dataset[LineageRecord] = withWriterLock(spark, outDir) {
     import spark.implicits._
 
     requireLayoutMatch(spark, outDir, cfg)
@@ -315,7 +406,7 @@ object EncodeJob {
       cfg: EncodeConfig = EncodeConfig(),
       partIds: Option[Seq[Int]] = None,
       reencode: Boolean = false
-  ): Dataset[LineageRecord] = {
+  ): Dataset[LineageRecord] = withWriterLock(spark, outDir) {
     import spark.implicits._
     val meta = requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
@@ -389,7 +480,7 @@ object EncodeJob {
       outDir: String,
       urls: Seq[String],
       cfg: EncodeConfig = EncodeConfig()
-  ): Dataset[LineageRecord] = {
+  ): Dataset[LineageRecord] = withWriterLock(spark, outDir) {
     import spark.implicits._
     val distinctUrls = urls.distinct
     require(distinctUrls.size <= MaxDeleteUrls,
@@ -401,18 +492,49 @@ object EncodeJob {
       return spark.emptyDataset[LineageRecord]
     val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
 
-    // affected = partitions that ACTUALLY contain one of the urls.
-    // The chunk url ranges alone over-approximate (a range can straddle an
-    // absent url), so the urls of range-covering chunks are decoded — the
-    // url payload leaf only, exactly append's dedupe scan — making
-    // delete-of-absent a true no-op (routine for redelivered takedown
-    // batches: re-running a delete must not rewrite anything). The
-    // home-partition constraint applies only when the STORED meta is
-    // available — computing it from the caller's cfg on a pre-meta table
-    // could map a url to the wrong partition and silently skip it. With
-    // meta, the home part ids are known driver-side, so the scan itself is
-    // partition-pruned to the home dirs (the join condition alone would
-    // not push down as a PartitionFilter).
+    val affected = presentHomeParts(spark, outDir, distinctUrls, meta)
+    if (affected.isEmpty) return spark.emptyDataset[LineageRecord]
+
+    val urlSet = distinctUrls.toSet
+    val rewritten = compactedChunkStream(
+      spark, outDir, effCfg, affected, reencode = false, dropUrls = urlSet)
+
+    val fs = chunksFs(spark, outDir)
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
+
+    // a partition with no staged output was fully emptied by the delete —
+    // record the intent as a drop so roll-forward removes it too
+    val actions = affected.map { pid =>
+      (pid, !fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")))
+    }
+    writeSwapMarker(fs, outDir, actions)
+    val records = finishSwap(spark, outDir, actions)
+    spark.createDataset(records)
+  }
+
+  /** Home partitions that ACTUALLY contain at least one of `distinctUrls`.
+    * The chunk url ranges alone over-approximate (a range can straddle an
+    * absent url), so the urls of range-covering chunks are decoded — the
+    * url payload leaf only, exactly append's dedupe scan — making
+    * delete-of-absent a true no-op (routine for redelivered takedown
+    * batches: re-running a delete must not rewrite anything). The
+    * home-partition constraint applies only when the STORED meta is
+    * available — computing it from the caller's cfg on a pre-meta table
+    * could map a url to the wrong partition and silently skip it. With
+    * meta, the home part ids are known driver-side, so the scan itself is
+    * partition-pruned to the home dirs (the join condition alone would
+    * not push down as a PartitionFilter). Shared by [[delete]] and
+    * [[upsert]].
+    */
+  private def presentHomeParts(
+      spark: SparkSession,
+      outDir: String,
+      distinctUrls: Seq[String],
+      meta: Option[EncodeMeta]
+  ): Seq[Int] = {
+    import spark.implicits._
     val (targets, homePids) = meta match {
       case Some(m) =>
         val homeCfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
@@ -439,61 +561,192 @@ object EncodeJob {
       .flatMap { case (pid, p) =>
         ColumnCodec.decodeBinary(p).iterator.map(b => (pid, new String(b, UTF_8)))
       }.toDF("part_id", "url")
-    val affected = stored.join(targets,
+    stored.join(targets,
         stored("url") === $"d_url" && ($"d_part".isNull || stored("part_id") === $"d_part"),
         "left_semi")
       .select($"part_id").distinct().as[Int].collect().toSeq.sorted
-    if (affected.isEmpty) return spark.emptyDataset[LineageRecord]
-
-    val urlSet = distinctUrls.toSet
-    val rewritten = compactedChunkStream(
-      spark, outDir, effCfg, affected, reencode = false, dropUrls = urlSet)
-
-    val fs = chunksFs(spark, outDir)
-    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
-
-    // a partition with no staged output was fully emptied by the delete —
-    // record the intent as a drop so roll-forward removes it too
-    val actions = affected.map { pid =>
-      (pid, !fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")))
-    }
-    writeSwapMarker(fs, outDir, actions)
-    val records = finishSwap(spark, outDir, actions)
-    spark.createDataset(records)
   }
+
+  /** Distinct-url ceiling for one [[upsert]] call. Above [[MaxDeleteUrls]]
+    * the url set is split into hash groups upserted one at a time (each
+    * group's delete+insert is idempotent and per-url atomic), so a
+    * backlogged catch-up micro-batch under `newestWins` streaming degrades
+    * to more groups instead of permanently failing the query; past THIS
+    * ceiling the refresh is a bulk rebuild in disguise and fails loudly
+    * (rebuild the affected partitions with [[run]] instead).
+    */
+  val MaxUpsertUrls: Int = 20 * MaxDeleteUrls
+
+  /** Test seam: observes upsert's commit phases ("staged" = rewrite fully
+    * staged, marker not yet written; "swapped" = replaced urls live, tail
+    * append still pending). Specs use it to read the table mid-upsert and
+    * to inject crashes between the phases.
+    */
+  private[graft] var upsertPhaseHook: String => Unit = _ => ()
+
+  // test seams: shrink the bound/group size so the error path and the
+  // hash-group split run at spec scale (production constants are 100k/2M)
+  private[graft] var maxUpsertUrlsForTest: Option[Int] = None
+  private[graft] var upsertGroupSizeForTest: Option[Int] = None
 
   /** Explicit newest-wins refresh — the escape hatch from [[append]]'s
     * INSERT-ONLY semantics: the stored versions of the delta's urls are
-    * [[delete]]d, then the delta is [[append]]ed, so the delta's rows win
-    * regardless of what was stored. NOT atomic: the delete commits before
-    * the append, so a concurrent reader can observe the urls absent
-    * in between; a crash in that window is repaired by re-running the same
-    * upsert (the delete of now-absent urls is a no-op and the append
-    * lands). Bounded by [[MaxDeleteUrls]] distinct urls per call.
+    * replaced by the delta's rows regardless of what was stored.
+    *
+    * Atomic per url (old-or-new, never neither): the replacement does NOT
+    * go through separate delete-then-append commits — the affected home
+    * partitions are rewritten (stored rows minus the delta's urls, PLUS
+    * the delta's rows homed there) into the write-ahead staging dir and
+    * swapped in through ONE `_SWAP` commit, so a concurrent reader sees a
+    * refreshed url's old version until the swap and its new version after
+    * it. Delta rows homed in untouched partitions are brand-new urls
+    * there and land as a plain [[append]] afterwards (absent -> present).
+    * A crash anywhere is repaired by the usual roll-forward plus
+    * re-running the same upsert (idempotent: already-replaced urls
+    * rewrite byte-identically, already-landed inserts dedupe away).
+    *
+    * Bounded at [[MaxUpsertUrls]] distinct urls, enforced BEFORE any
+    * driver-side url collect; beyond [[MaxDeleteUrls]] the work is split
+    * into hash groups of at most that size.
     */
   def upsert(
       spark: SparkSession,
       delta: Dataset[Page],
       outDir: String,
       cfg: EncodeConfig = EncodeConfig()
-  ): Dataset[LineageRecord] = {
+  ): Dataset[LineageRecord] = withWriterLock(spark, outDir) {
     import spark.implicits._
-    val urls = delta.select($"url").distinct().as[String].collect().toSeq
-    delete(spark, outDir, urls, cfg)
-    append(spark, delta, outDir, cfg)
+    requireLayoutMatch(spark, outDir, cfg)
+    completePendingCompactSwap(spark, outDir)
+    val deduped = dedupeDelta(delta)
+    // bound BEFORE collecting urls to the driver: the limit caps what the
+    // count materializes, so an oversized delta fails loudly instead of
+    // OOMing the driver on the way to the bound check
+    val ceiling = maxUpsertUrlsForTest.getOrElse(MaxUpsertUrls)
+    val groupSize = upsertGroupSizeForTest.getOrElse(MaxDeleteUrls)
+    val nUrls = deduped.select($"url").limit(ceiling + 1).count()
+    require(nUrls <= ceiling,
+      s"upsert is bounded at $ceiling distinct urls per call (delta has more): " +
+        "a refresh this size is a bulk rebuild — re-encode the affected partitions " +
+        "with run() instead")
+    if (nUrls == 0) spark.emptyDataset[LineageRecord]
+    else if (nUrls <= groupSize) upsertGroup(spark, deduped, outDir, cfg)
+    else {
+      // hash-group the urls (never collected as one set): each group is a
+      // full, per-url-atomic upsert; /2 headroom keeps every group under
+      // the bound despite hash imbalance
+      val groups = math.ceil(nUrls.toDouble / math.max(1, groupSize / 2)).toInt
+      deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val recs = (0 until groups).flatMap { g =>
+          upsertGroup(spark,
+            deduped.filter(pmod(xxhash64($"url"), lit(groups)) === g), outDir, cfg)
+            .collect().toSeq
+        }
+        spark.createDataset(recs)
+      } finally { deduped.unpersist(); () }
+    }
   }
 
+  /** One bounded upsert group: staged partition rewrite-with-replacement +
+    * single swap, then the pure-insert tail. `deduped` must already be
+    * intra-delta deduplicated and hold at most [[MaxDeleteUrls]] distinct
+    * urls.
+    */
+  private def upsertGroup(
+      spark: SparkSession,
+      deduped: Dataset[Page],
+      outDir: String,
+      cfg: EncodeConfig
+  ): Dataset[LineageRecord] = {
+    import spark.implicits._
+    val meta = requireLayoutMatch(spark, outDir, cfg)
+    // bootstrap / wiped table: nothing stored to replace — plain append
+    if (!hasCommittedChunks(spark, outDir))
+      return append(spark, deduped, outDir, cfg)
+    val urls = deduped.select($"url").as[String].collect().toSeq
+    require(urls.size <= MaxDeleteUrls,
+      s"internal: upsert group exceeded $MaxDeleteUrls urls (${urls.size})")
+    if (urls.isEmpty) return spark.emptyDataset[LineageRecord]
+    val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
+    val affected = presentHomeParts(spark, outDir, urls, meta)
+    // no url stored anywhere: the whole delta is a pure insert
+    if (affected.isEmpty) return append(spark, deduped, outDir, cfg)
+
+    // --- phase 1: staged rewrite of the affected partitions minus the
+    // delta's urls (the replace side), never touching the live dirs
+    val fs = chunksFs(spark, outDir)
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val rewritten = compactedChunkStream(
+      spark, outDir, effCfg, affected, reencode = false, dropUrls = urls.toSet)
+    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
+
+    // --- phase 2: delta rows homed in those partitions are encoded into
+    // the SAME staging dir (chunk ids offset past phase 1's), so each
+    // affected partition's staged dir holds its complete new content
+    val withPart = deduped.withColumn("part_id", partIdCol(effCfg))
+    val inAffected = withPart.filter($"part_id".isin(affected: _*))
+      .select("url", "warc_ts", "html", "text", "lang", "part_id")
+    val offsets: Map[Int, Int] =
+      if (!hasCommittedFileUnder(spark, compactTmpPath(outDir))) Map.empty
+      else spark.read.parquet(compactTmpPath(outDir))
+        .groupBy($"part_id").agg(max($"chunk_id").as("m"))
+        .as[(Int, Int)].collect().map { case (pid, m) => pid -> (m + 1) }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    writeChunks(
+      encodeChunkStream(inAffected, effCfg, _ => ())
+        .map(c => c.copy(chunk_id = c.chunk_id + bcOff.value.getOrElse(c.part_id, 0)))
+        .toDF(),
+      compactTmpPath(outDir), SaveMode.Append)
+    upsertPhaseHook("staged")
+
+    // every affected part has staged content (each holds >= 1 replaced
+    // url, whose delta row is homed right there), so no action can be a
+    // drop; computed from the staging dir anyway so the marker records
+    // what is actually on disk
+    val actions = affected.map { pid =>
+      (pid, !fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")))
+    }
+    writeSwapMarker(fs, outDir, actions)
+    upsertPhaseHook("marked")
+    val swapRecords = finishSwap(spark, outDir, actions)
+    upsertPhaseHook("swapped")
+
+    // --- phase 3: delta rows homed in UNaffected partitions are brand-new
+    // urls there — plain incremental append (absent -> present per url)
+    val rest = withPart.filter(!$"part_id".isin(affected: _*))
+      .select("url", "warc_ts", "html", "text", "lang").as[Page]
+    val restRecords =
+      if (rest.isEmpty) Seq.empty
+      else append(spark, rest, outDir, cfg).collect().toSeq
+    spark.createDataset(swapRecords ++ restRecords)
+  }
+
+  /** The swap marker is the roll-forward COMMIT RECORD — it must appear
+    * atomically or not at all, never truncated: a token cut mid-`:drop`
+    * would make the repair path misparse (wedging every entry point) and
+    * an empty marker would silently discard a fully-staged rewrite. So the
+    * content is written to a `_SWAP.tmp` sibling first and `fs.rename`d
+    * into place (atomic on local FS and HDFS), and it carries a trailing
+    * `;` terminator sentinel — a marker missing the sentinel is provably
+    * not a committed intent (the rename never happened or a legacy/corrupt
+    * file) and is treated as pre-marker staging junk: discarded, live
+    * table canonical.
+    */
   private def writeSwapMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       outDir: String,
       actions: Seq[(Int, Boolean)]
   ): Unit = {
-    val marker = fs.create(swapMarkerPath(outDir), true)
-    marker.write(actions.map { case (p, drop) => if (drop) s"$p:drop" else s"$p" }
-      .mkString(",").getBytes(UTF_8))
-    marker.close()
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir), "_SWAP.tmp")
+    val out = fs.create(tmp, true)
+    out.write((actions.map { case (p, drop) => if (drop) s"$p:drop" else s"$p" }
+      .mkString(",") + ";").getBytes(UTF_8))
+    out.close()
+    if (fs.exists(swapMarkerPath(outDir))) fs.delete(swapMarkerPath(outDir), false)
+    require(fs.rename(tmp, swapMarkerPath(outDir)),
+      s"failed to commit swap marker at ${swapMarkerPath(outDir)}")
   }
 
   /** The exchange-free compaction pipeline (separated so tests can assert
@@ -586,14 +839,31 @@ object EncodeJob {
   def completePendingCompactSwap(spark: SparkSession, outDir: String): Boolean = {
     val fs = chunksFs(spark, outDir)
     if (!fs.exists(swapMarkerPath(outDir))) return false
+    withWriterLock(spark, outDir) { completePendingCompactSwapLocked(spark, fs, outDir) }
+  }
+
+  private def completePendingCompactSwapLocked(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String
+  ): Boolean = {
+    if (!fs.exists(swapMarkerPath(outDir))) return false
     val markerLen = fs.getFileStatus(swapMarkerPath(outDir)).getLen.toInt
     val bytes = new Array[Byte](markerLen)
     val in = fs.open(swapMarkerPath(outDir))
     try in.readFully(0, bytes) finally in.close()
     val content = new String(bytes, UTF_8)
+    // a marker without the `;` terminator sentinel was never committed by
+    // [[writeSwapMarker]]'s rename (truncated/corrupt/legacy file): the
+    // live table is still canonical, so discard it with the staging dir
+    // instead of misparsing it into a bogus roll-forward
+    if (!content.endsWith(";")) {
+      fs.delete(new org.apache.hadoop.fs.Path(compactTmpPath(outDir)), true)
+      return false
+    }
     // marker entries: "<pid>" = swap staged dir in; "<pid>:drop" = the
     // partition's rewrite produced no rows (delete emptied it) — remove it
-    val actions = content.split(",").filter(_.nonEmpty).toSeq.map { e =>
+    val actions = content.stripSuffix(";").split(",").filter(_.nonEmpty).toSeq.map { e =>
       if (e.endsWith(":drop")) (e.stripSuffix(":drop").toInt, true)
       else (e.toInt, false)
     }
@@ -621,6 +891,21 @@ object EncodeJob {
     * swapped (its staged dir gone) or already dropped is skipped, and
     * lineage is recomputed from the live chunks table rather than carried
     * through the crash.
+    *
+    * Reader-outage window: readers fail fast while the `_SWAP` marker
+    * exists, so the marker should live exactly as long as a read could be
+    * WRONG. For a drop-free swap (compaction/upsert — every partition's
+    * rows survive, only their chunk layout changes) the table is fully
+    * consistent the moment the O(parts) renames finish, so the marker is
+    * cleared RIGHT THEN — before the lineage recompute (a full Spark
+    * aggregation), which would otherwise hard-error every concurrent
+    * reader of a live streaming table on each healthy in-stream compaction
+    * cycle. The cost is a narrow crash window in which live chunks are new
+    * but lineage metrics are stale (data correct; metrics self-heal on the
+    * next compact of those parts). A swap WITH drops (delete) keeps the
+    * marker through the lineage replace: the zero-row tombstones it writes
+    * are load-bearing for resume safety, so "repair me first" must hold
+    * until they are durable.
     */
   private def finishSwap(
       spark: SparkSession,
@@ -639,6 +924,8 @@ object EncodeJob {
         require(fs.rename(staged, live), s"failed to swap in compacted $live")
       }
     }
+    if (actions.forall(!_._2) && fs.exists(swapMarkerPath(outDir)))
+      fs.delete(swapMarkerPath(outDir), false)
     val parts = actions.map(_._1)
     val live = lineageFromChunks(spark, outDir, parts)
     // a dropped (fully-deleted) partition keeps a zero-row "done" lineage
@@ -654,8 +941,9 @@ object EncodeJob {
     }
     val records = live ++ tombstones
     replaceLineageRows(spark, outDir, parts.toSet, records)
-    // staging dir (and its marker) goes last: until lineage is replaced,
-    // the marker keeps the table in "repair me first" state
+    // staging dir goes last (for a swap with drops this also removes the
+    // marker, which until here kept the table in "repair me first" state;
+    // a drop-free swap already cleared it right after the renames)
     fs.delete(new org.apache.hadoop.fs.Path(compactTmpPath(outDir)), true)
     records
   }
@@ -725,7 +1013,27 @@ object EncodeJob {
       if (!lfs.exists(lp)) Seq.empty
       else spark.read.parquet(lineagePath(outDir)).as[LineageRecord]
         .collect().toSeq.filterNot(r => parts.contains(r.part_id))
-    val newLineage = kept ++ records
+    // fold superseded per-append rows while the table is being rewritten
+    // anyway: append (batch and per-micro-batch streaming) APPENDS one row
+    // per touched part per batch, so after thousands of micro-batches the
+    // `_lineage` reads in donePartIds/append scan an ever-growing table —
+    // folding here keeps it O(partitions) across any stream length (the
+    // in-stream compaction hook reaches this pass every
+    // `compactEveryBatches` batches). Sums/xor/codec-union are exactly the
+    // aggregation lineageFromChunks computes, so a folded row is
+    // indistinguishable from a recomputed one; a zero-row drop tombstone
+    // folds harmlessly (0-row contribution) and keeps its part "done".
+    val folded = kept.groupBy(_.part_id).map { case (pid, rs) =>
+      if (rs.sizeIs == 1) rs.head
+      else LineageRecord(pid,
+        rs.map(_.n_rows).sum, rs.map(_.n_chunks).sum,
+        rs.map(_.bytes_in).sum, rs.map(_.bytes_out).sum,
+        rs.flatMap(_.codecs.split(',')).filter(_.nonEmpty)
+          .distinct.sorted.mkString(","),
+        rs.map(_.payload_hash).foldLeft(0L)(_ ^ _),
+        if (rs.forall(_.status == "done")) "done" else rs.last.status)
+    }.toSeq.sortBy(_.part_id)
+    val newLineage = folded ++ records
     if (newLineage.nonEmpty) {
       if (lfs.exists(tp)) lfs.delete(tp, true)
       spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmpPath)
@@ -861,7 +1169,7 @@ object EncodeJob {
       delta: Dataset[Page],
       outDir: String,
       cfg: EncodeConfig = EncodeConfig()
-  ): Dataset[LineageRecord] = {
+  ): Dataset[LineageRecord] = withWriterLock(spark, outDir) {
     import spark.implicits._
 
     requireLayoutMatch(spark, outDir, cfg)
@@ -869,16 +1177,8 @@ object EncodeJob {
 
     // intra-delta dedupe FIRST (it applies to the bootstrap path too): a
     // crawler re-delivering the same url WITHIN one batch is as normal as
-    // across batches. Deterministic winner (newest warc_ts, content hash
-    // as tie-break) — dropDuplicates would pick a partitioning-dependent
-    // row and break re-append idempotence.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("url"))
-      .orderBy(col("warc_ts").desc, xxhash64(col("text"), col("html"), col("lang")).desc)
-    val deduped = delta.toDF()
-      .withColumn("_rn", row_number().over(w))
-      .filter($"_rn" === 1)
-      .select("url", "warc_ts", "html", "text", "lang").as[Page]
+    // across batches
+    val deduped = dedupeDelta(delta)
     val withPart = deduped.withColumn("part_id", partIdCol(cfg))
 
     // Bootstrap vs wiped-table routing. A dir with no committed chunks is
@@ -949,6 +1249,24 @@ object EncodeJob {
         .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     }
     spark.createDataset(records)
+  }
+
+  /** Intra-delta url dedupe with a DETERMINISTIC winner (newest `warc_ts`,
+    * content hash as tie-break) — dropDuplicates would pick a
+    * partitioning-dependent row and break re-append/re-upsert idempotence.
+    * Shared by [[append]] and [[upsert]] so the two verbs cannot disagree
+    * on which delta row a url resolves to.
+    */
+  private def dedupeDelta(delta: Dataset[Page]): Dataset[Page] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, xxhash64(col("text"), col("html"), col("lang")).desc)
+    delta.toDF()
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select("url", "warc_ts", "html", "text", "lang").as[Page]
   }
 
   /** Map-side pre-encoding of one value: varint(rawLen) ++ textEncode.

@@ -74,13 +74,15 @@ object StreamingEncodeJob {
     * final; a later re-crawl of the same url in a later micro-batch is
     * dropped, not updated (within one micro-batch the newest `warc_ts`
     * wins). `newestWins = true` instead routes each micro-batch through
-    * [[EncodeJob.upsert]]: a re-crawl of a stored url REPLACES it
-    * (stream-order recency — the last delivered batch containing a url
+    * [[EncodeJob.upsert]]: a re-crawl of a stored url REPLACES it —
+    * per-url atomically, through upsert's single staged `_SWAP` commit
+    * (stream-order recency: the last delivered batch containing a url
     * defines its content). Redelivery stays exactly-once by idempotence
-    * either way (an upserted batch re-deletes its own stored rows and
-    * re-lands them byte-identically); with newestWins each batch's
-    * distinct url count must stay within [[EncodeJob.MaxDeleteUrls]] —
-    * natural for micro-batches.
+    * either way (an upserted batch re-replaces its own stored rows
+    * byte-identically). An oversized batch (a backlogged source's
+    * catch-up under `Trigger.AvailableNow`) does not fail the query:
+    * upsert hash-splits past [[EncodeJob.MaxDeleteUrls]] distinct urls
+    * into bounded groups, up to its [[EncodeJob.MaxUpsertUrls]] ceiling.
     *
     * `compactEveryBatches = Some(n)` folds table maintenance into the
     * stream: after every n-th micro-batch, partitions that the appends
@@ -144,14 +146,20 @@ object StreamingEncodeJob {
       .as[Page]
   }
 
-  /** Decode every committed micro-batch back to pages (batch read). */
+  /** Decode every committed micro-batch back to pages (batch read).
+    * Batch-dir discovery goes through the Hadoop FS API like every other
+    * path in the engine — a 100 TB landing zone lives on HDFS/S3, where
+    * `java.io.File` listing silently sees nothing.
+    */
   def decodeAll(spark: SparkSession, outDir: String): Dataset[Page] = {
-    import spark.implicits._
-    val root = new java.io.File(outDir)
-    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getAbsolutePath)
-      .sorted
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+        .sorted
     require(batchDirs.nonEmpty, s"no committed batches under $outDir")
     batchDirs.map(d => graft.spark.DecodeJob.run(spark, d))
       .reduce(_ union _)

@@ -553,8 +553,10 @@ class SparkJobsSpec extends AnyFunSuite {
         new org.apache.hadoop.fs.Path(EncodeJob.chunksPath(out), s"part_id=$pid"),
         fs, new org.apache.hadoop.fs.Path(tmp, s"part_id=$pid"), false, conf)
     }
+    // a COMMITTED marker carries the `;` terminator sentinel (writeSwapMarker
+    // renames it in atomically; a sentinel-less file is pre-commit junk)
     val marker = fs.create(new org.apache.hadoop.fs.Path(tmp, "_SWAP"), true)
-    marker.write("0,1".getBytes(UTF_8))
+    marker.write("0,1;".getBytes(UTF_8))
     marker.close()
     fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.chunksPath(out), "part_id=0"), true)
 
@@ -615,9 +617,14 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(lin.count(_.part_id == target) == 1)
     assert(lin.map(_.part_id).distinct.sorted.toSeq == Seq(0, 1, 2, 3),
       s"non-compacted partitions' lineage lost: ${lin.toSeq}")
-    assert(lin.map(_.n_rows).sum == 160)
-    assert(lin.length > 4, s"append-generation rows of untouched parts must survive " +
-      s"(got ${lin.length}, full table had $fullLineageRows)")
+    // the untouched parts' append-generation rows survive the crashed swap
+    // FOLDED (one row per part, sums preserved — before the roll-forward
+    // fix the kept set was empty and the sum collapsed to the compacted
+    // partition's rows alone)
+    assert(lin.map(_.n_rows).sum == 160,
+      s"rows of untouched parts must survive the crashed swap " +
+        s"(full table had $fullLineageRows lineage rows pre-crash)")
+    assert(lin.length == 4, s"folding keeps lineage at one row per part: ${lin.toSeq}")
 
     // compacting with a DIVERGENT cfg.chunkRows must keep the stored
     // layout (meta.chunkRows), or the fragmentation metric would read the
@@ -835,6 +842,171 @@ class SparkJobsSpec extends AnyFunSuite {
     val looked = DecodeJob.lookupUrls(spark, out, wanted.map(_.url)).collect()
       .map(p => p.url -> p.text).toMap
     assert(looked == wanted.map(p => p.url -> p.text).toMap)
+  }
+
+  test("writer lease: a second concurrent writer fails loudly; orphans break manually or by staleness") {
+    import spark.implicits._
+    val out = tmpDir("lock")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    val all = PagesGen.generate(spark, 40, partitions = 2).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+
+    // writer A holds the lease on another thread; writer B's append must
+    // fail with the named error instead of racing chunk-id allocation
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() =>
+      EncodeJob.withWriterLock(spark, out) { entered.countDown(); release.await() })
+    a.start()
+    entered.await()
+    try {
+      val ex = intercept[IllegalStateException](
+        EncodeJob.append(spark, spark.createDataset(all.take(5).toIndexedSeq), out, cfg))
+      assert(ex.getMessage.contains("another writer holds the lease"))
+    } finally { release.countDown(); a.join() }
+
+    // lease released -> writes work again (delete takes + releases it too)
+    assert(EncodeJob.delete(spark, out, Seq(all.head.url), cfg).collect().nonEmpty)
+
+    // an orphaned FRESH lock (crashed writer) blocks until broken by hand
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val lock = EncodeJob.writerLockPath(out)
+    val os = fs.create(lock, false); os.write("app=dead".getBytes(UTF_8)); os.close()
+    intercept[IllegalStateException](EncodeJob.compact(spark, out, cfg))
+    assert(EncodeJob.breakWriterLock(spark, out))
+    EncodeJob.compact(spark, out, cfg)
+
+    // a STALE orphan self-heals on the next acquisition
+    val os2 = fs.create(lock, false); os2.write("app=dead".getBytes(UTF_8)); os2.close()
+    fs.setTimes(lock, System.currentTimeMillis() - EncodeJob.StaleWriterLockMs - 60000, -1)
+    EncodeJob.compact(spark, out, cfg) // auto-breaks and proceeds
+    assert(!fs.exists(lock), "the lease must be released after the write")
+    assert(DecodeJob.run(spark, out).count() == 39)
+  }
+
+  test("upsert is per-url atomic: old until the swap, new right after; a crash at the marker rolls forward") {
+    import spark.implicits._
+    val out = tmpDir("upsert_atomic")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 120, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    def bump(p: Page, v: String) = p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(3600)),
+      text = s"$v ${p.text}")
+    val refreshed = all.take(8).map(bump(_, "v2"))
+    val oldText = all.take(8).map(p => p.url -> p.text).toMap
+
+    // read the table through the PUBLIC read path at each commit phase
+    val seen = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    EncodeJob.upsertPhaseHook = {
+      case ph @ ("staged" | "swapped") =>
+        seen(ph) = DecodeJob.lookupUrls(spark, out, refreshed.map(_.url).toSeq)
+          .collect().map(p => p.url -> p.text).toMap
+      case _ => ()
+    }
+    try EncodeJob.upsert(spark, spark.createDataset(refreshed.toIndexedSeq), out, cfg)
+    finally EncodeJob.upsertPhaseHook = _ => ()
+    assert(seen("staged") == oldText,
+      "before the swap commit a reader must see the OLD versions (never absent)")
+    assert(seen("swapped") == refreshed.map(p => p.url -> p.text).toMap,
+      "right after the swap a reader must see the NEW versions")
+
+    // crash right after the swap intent is recorded: readers fail fast,
+    // the roll-forward lands the new rows, nothing is ever 'neither'
+    val refreshed2 = all.slice(20, 26).map(bump(_, "v3"))
+    EncodeJob.upsertPhaseHook =
+      ph => if (ph == "marked") throw new RuntimeException("injected crash at marker")
+    try intercept[RuntimeException](
+      EncodeJob.upsert(spark, spark.createDataset(refreshed2.toIndexedSeq), out, cfg))
+    finally EncodeJob.upsertPhaseHook = _ => ()
+    intercept[IllegalArgumentException](DecodeJob.run(spark, out))
+    assert(EncodeJob.completePendingCompactSwap(spark, out))
+    val after = DecodeJob.run(spark, out).collect().map(p => p.url -> p.text).toMap
+    assert(after.size == 120)
+    refreshed2.foreach(r => assert(after(r.url) == r.text,
+      s"rolled-forward upsert must show the new version of ${r.url}"))
+    // re-running the same upsert over the repaired table is a stable no-op
+    EncodeJob.upsert(spark, spark.createDataset(refreshed2.toIndexedSeq), out, cfg)
+    assert(DecodeJob.run(spark, out).count() == 120)
+  }
+
+  test("upsert splits oversized deltas into bounded groups; the ceiling fails before any collect") {
+    import spark.implicits._
+    val out = tmpDir("upsert_groups")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 60, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    val refreshed = all.take(20).map(p => p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(60)),
+      text = "grp " + p.text))
+    // force the hash-group split path at spec scale (production: 100k)
+    EncodeJob.upsertGroupSizeForTest = Some(4)
+    try EncodeJob.upsert(spark, spark.createDataset(refreshed.toIndexedSeq), out, cfg)
+    finally EncodeJob.upsertGroupSizeForTest = None
+    val decoded = DecodeJob.run(spark, out).collect()
+    assert(decoded.length == 60)
+    refreshed.foreach(r =>
+      assert(decoded.find(_.url == r.url).get.text == r.text, s"group upsert lost ${r.url}"))
+
+    // the ceiling is enforced via limit+count BEFORE the driver-side url
+    // collect: a delta far past it fails loudly without being materialized
+    EncodeJob.maxUpsertUrlsForTest = Some(8)
+    try {
+      val big = spark.range(100000).map(i => Page(s"https://x.example/$i",
+        new java.sql.Timestamp(0L), null, "t", "en"))
+      val ex = intercept[IllegalArgumentException](EncodeJob.upsert(spark, big, out, cfg))
+      assert(ex.getMessage.contains("bounded at 8"))
+    } finally EncodeJob.maxUpsertUrlsForTest = None
+  }
+
+  test("a truncated swap marker is pre-commit junk, not a wedge") {
+    val out = tmpDir("marker_trunc")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
+    EncodeJob.run(spark, PagesGen.generate(spark, 40, partitions = 2), out, cfg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    // fabricate a crash mid-marker-write: a token cut inside ':drop' and
+    // no terminator sentinel (the atomic rename of a real commit makes
+    // this impossible post-fix, but a legacy/corrupt file must not wedge)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(EncodeJob.compactTmpPath(out)))
+    val os = fs.create(
+      new org.apache.hadoop.fs.Path(EncodeJob.compactTmpPath(out), "_SWAP"), true)
+    os.write("5:dr".getBytes(UTF_8)); os.close()
+    // readers fail fast on the pending marker...
+    intercept[IllegalArgumentException](DecodeJob.run(spark, out))
+    // ...and repair discards it as junk instead of misparsing '5:dr'
+    assert(!EncodeJob.completePendingCompactSwap(spark, out))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(EncodeJob.compactTmpPath(out))))
+    assert(DecodeJob.run(spark, out).count() == 40, "live table stays canonical")
+  }
+
+  test("lineage stays O(partitions): compaction folds superseded per-append rows") {
+    import spark.implicits._
+    val out = tmpDir("lineage_fold")
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 200, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.take(40).toIndexedSeq), out, cfg)
+    (1 to 8).foreach { k =>
+      EncodeJob.append(spark,
+        spark.createDataset(all.slice(40 + (k - 1) * 20, 40 + k * 20).toIndexedSeq), out, cfg)
+    }
+    val rowsBefore = spark.read.parquet(EncodeJob.lineagePath(out)).count()
+    assert(rowsBefore > 4, s"appends must have accumulated per-batch lineage rows: $rowsBefore")
+
+    // compacting even ONE partition folds every OTHER part's superseded
+    // rows too (the whole lineage table is rewritten in that pass)
+    val frag = EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0)
+    assert(frag.nonEmpty, "eight appends must fragment something")
+    EncodeJob.compact(spark, out, cfg, partIds = Some(frag.take(1)))
+    val lin = spark.read.parquet(EncodeJob.lineagePath(out)).as[LineageRecord].collect()
+    assert(lin.map(_.part_id).distinct.length == lin.length,
+      s"exactly one folded lineage row per partition, got ${lin.toSeq}")
+    assert(lin.map(_.n_rows).sum == 200)
+    assert(lin.forall(r => r.status == "done" && r.codecs.nonEmpty))
+    // folding is metrics-preserving: resume bookkeeping and decode intact
+    assert(EncodeJob.donePartIds(spark, out) == lin.map(_.part_id).toSet)
+    assert(DecodeJob.run(spark, out).count() == 200)
   }
 
   test("decodeColumn provides the column-pruned read path") {
