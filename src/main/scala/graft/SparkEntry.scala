@@ -813,6 +813,58 @@ object SparkEntry {
       require(DecodeJob.run(s, outDir).count() == before,
         "upsert must replace rows, not change the row count")
       DecodeJob.run(s, outDir).select($"url", $"text")
+    },
+
+    // --- pure-SQL RANGE read (decodeUrlRange's SQL twin, README recipe):
+    // chunk overlap predicate on url_min/url_max reaches PushedFilters
+    // (require-pinned), so non-overlapping row groups are skipped before
+    // any payload is read — a SQL-only user gets the same pruning the
+    // Scala reader gets.
+    "q55_sql_range_read" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      val outDir = s"/root/repo/target/sqlrange_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 64)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir, cfg)
+      val (lo, hi) = ("https://host2.example/d/3", "https://host2.example/d/6")
+      s.read.parquet(EncodeJob.chunksPath(outDir)).createOrReplaceTempView("graft_chunks_55")
+      val q = s.sql(
+        s"""SELECT p.url, p.text FROM (
+           |  SELECT explode(zip_with(graft_decode_column(url.payload),
+           |                          graft_decode_column(text.payload),
+           |                          (u, t) -> struct(u AS url, t AS text))) AS p
+           |  FROM graft_chunks_55
+           |  WHERE url_max >= '$lo' AND url_min < '$hi'
+           |) q WHERE p.url >= '$lo' AND p.url < '$hi'""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      require("""PushedFilters: \[[^\]]*url_max""".r.findFirstIn(plan).nonEmpty,
+        s"range-overlap predicate must reach the parquet scan's PushedFilters:\n$plan")
+      q
+    },
+
+    // --- pure-SQL PREFIX read (decodeUrlPrefix's SQL twin): the host
+    // slice "give me everything under https://host5.example/" without the
+    // Scala API; same PushedFilters pin.
+    "q56_sql_prefix_read" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      val outDir = s"/root/repo/target/sqlprefix_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 64)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir, cfg)
+      val p = "https://host5.example/"
+      s.read.parquet(EncodeJob.chunksPath(outDir)).createOrReplaceTempView("graft_chunks_56")
+      val q = s.sql(
+        s"""SELECT p.url, p.text FROM (
+           |  SELECT explode(zip_with(graft_decode_column(url.payload),
+           |                          graft_decode_column(text.payload),
+           |                          (u, t) -> struct(u AS url, t AS text))) AS p
+           |  FROM graft_chunks_56
+           |  WHERE url_max >= '$p' AND (url_min < '$p' OR startswith(url_min, '$p'))
+           |) q WHERE startswith(p.url, '$p')""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      require("""PushedFilters: \[[^\]]*url_max""".r.findFirstIn(plan).nonEmpty,
+        s"prefix-overlap predicate must reach the parquet scan's PushedFilters:\n$plan")
+      q
     }
   )
 
@@ -966,6 +1018,12 @@ object SparkEntry {
       pagesFromDocsOracle("text, lang", " WHERE NOT (doc_id % 11 = 5)"),
     "q54_upsert_refresh" -> pagesFromDocsOracle(
       "CASE WHEN doc_id % 13 = 2 THEN 'UPDATED ' || text ELSE text END AS text"),
+    // string comparisons on the reconstructed url: DuckDB compares varchars
+    // bytewise like Catalyst's UTF8String order (urls are ASCII)
+    "q55_sql_range_read" -> pagesFromDocsOracle("text",
+      " WHERE 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) >= 'https://host2.example/d/3'" +
+        " AND 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) < 'https://host2.example/d/6'"),
+    "q56_sql_prefix_read" -> pagesFromDocsOracle("text", " WHERE doc_id % 7 = 5"),
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

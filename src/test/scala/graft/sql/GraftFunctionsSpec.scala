@@ -153,6 +153,58 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(api.length == 1 && api.head.text == rows.head.getString(1))
   }
 
+  test("pure-SQL range and prefix reads: overlap predicate pushes to the scan; agree with the Scala API") {
+    import spark.implicits._
+    import graft.spark.{DecodeJob, EncodeConfig, EncodeJob, PagesGen}
+    GraftFunctions.register(spark)
+    val out = {
+      val d = java.nio.file.Files.createTempDirectory("graft_sqlrange").toFile
+      d.deleteOnExit(); d.getAbsolutePath + "/out"
+    }
+    val cfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val pages = PagesGen.generate(spark, 150, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(pages.toIndexedSeq), out, cfg)
+    spark.read.parquet(EncodeJob.chunksPath(out)).createOrReplaceTempView("chunks_range_sql")
+
+    def decoded(where: String, outer: String) = spark.sql(
+      s"""SELECT p.url, p.text FROM (
+         |  SELECT explode(zip_with(graft_decode_column(url.payload),
+         |                          graft_decode_column(text.payload),
+         |                          (u, t) -> struct(u AS url, t AS text))) AS p
+         |  FROM chunks_range_sql
+         |  WHERE $where
+         |) q WHERE $outer""".stripMargin)
+
+    // RANGE: decodeUrlRange's SQL twin (chunk overlap on url_min/url_max)
+    val sorted = pages.map(_.url).sorted
+    val (lo, hi) = (sorted(30), sorted(90))
+    val range = decoded(
+      s"url_max >= '$lo' AND url_min < '$hi'",
+      s"p.url >= '$lo' AND p.url < '$hi'")
+    val rPlan = range.queryExecution.executedPlan.toString()
+    assert("""PushedFilters: \[[^\]]*url_max""".r.findFirstIn(rPlan).nonEmpty &&
+      """PushedFilters: \[[^\]]*url_min""".r.findFirstIn(rPlan).nonEmpty,
+      s"range-overlap predicate must reach PushedFilters:\n$rPlan")
+    val rGot = range.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rApi = DecodeJob.decodeUrlRange(spark, out, lo, hi).collect()
+      .map(p => p.url -> p.text).toMap
+    assert(rGot == rApi && rGot.size == 60, s"range twin diverged: ${rGot.size} vs ${rApi.size}")
+
+    // PREFIX: decodeUrlPrefix's SQL twin (host slice)
+    val prefix = pages.head.url.takeWhile(_ != '/') + "//" +
+      pages.head.url.split('/')(2) + "/"
+    val pref = decoded(
+      s"url_max >= '$prefix' AND (url_min < '$prefix' OR startswith(url_min, '$prefix'))",
+      s"startswith(p.url, '$prefix')")
+    val pPlan = pref.queryExecution.executedPlan.toString()
+    assert("""PushedFilters: \[[^\]]*url_max""".r.findFirstIn(pPlan).nonEmpty,
+      s"prefix-overlap predicate must reach PushedFilters:\n$pPlan")
+    val pGot = pref.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val pApi = DecodeJob.decodeUrlPrefix(spark, out, prefix).collect()
+      .map(p => p.url -> p.text).toMap
+    assert(pGot == pApi && pGot.nonEmpty, s"prefix twin diverged (${pGot.size} vs ${pApi.size})")
+  }
+
   test("type checking rejects wrong input types") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {
