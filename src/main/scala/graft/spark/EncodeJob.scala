@@ -673,32 +673,33 @@ object EncodeJob {
     // no url stored anywhere: the whole delta is a pure insert
     if (affected.isEmpty) return append(spark, deduped, outDir, cfg)
 
-    // --- phase 1: staged rewrite of the affected partitions minus the
-    // delta's urls (the replace side), never touching the live dirs
+    // --- phase 1: encode the delta rows homed in the affected partitions
+    // into a TEMP chunk table, ids tagged past UpsertDeltaChunkBase so
+    // the rewrite below can tell replacement rows from stored ones
     val fs = chunksFs(spark, outDir)
-    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    val rewritten = compactedChunkStream(
-      spark, outDir, effCfg, affected, reencode = false, dropUrls = urls.toSet)
-    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
-
-    // --- phase 2: delta rows homed in those partitions are encoded into
-    // the SAME staging dir (chunk ids offset past phase 1's), so each
-    // affected partition's staged dir holds its complete new content
     val withPart = deduped.withColumn("part_id", partIdCol(effCfg))
     val inAffected = withPart.filter($"part_id".isin(affected: _*))
       .select("url", "warc_ts", "html", "text", "lang", "part_id")
-    val offsets: Map[Int, Int] =
-      if (!hasCommittedFileUnder(spark, compactTmpPath(outDir))) Map.empty
-      else spark.read.parquet(compactTmpPath(outDir))
-        .groupBy($"part_id").agg(max($"chunk_id").as("m"))
-        .as[(Int, Int)].collect().map { case (pid, m) => pid -> (m + 1) }.toMap
-    val bcOff = spark.sparkContext.broadcast(offsets)
+    val deltaTmp = chunksPath(outDir) + "_upsert_delta_tmp"
+    val deltaTmpPath = new org.apache.hadoop.fs.Path(deltaTmp)
+    if (fs.exists(deltaTmpPath)) fs.delete(deltaTmpPath, true) // stale crash junk
     writeChunks(
       encodeChunkStream(inAffected, effCfg, _ => ())
-        .map(c => c.copy(chunk_id = c.chunk_id + bcOff.value.getOrElse(c.part_id, 0)))
+        .map(c => c.copy(chunk_id = c.chunk_id + UpsertDeltaChunkBase))
         .toDF(),
-      compactTmpPath(outDir), SaveMode.Append)
+      deltaTmp, SaveMode.Overwrite)
+
+    // --- phase 2: staged rewrite of each affected partition from
+    // (stored rows minus the delta's urls) UNION (the delta's rows), in
+    // ONE url-sorted re-slice — the staged output is a perfectly
+    // laid-out partition (upsert DEFRAGMENTS what it touches instead of
+    // appending tail chunks), never touching the live dirs
+    val tmp = new org.apache.hadoop.fs.Path(compactTmpPath(outDir))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val rewritten = compactedChunkStream(
+      spark, outDir, effCfg, affected, reencode = false,
+      dropUrls = urls.toSet, deltaDir = Some(deltaTmp))
+    writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
     upsertPhaseHook("staged")
 
     // every affected part has staged content (each holds >= 1 replaced
@@ -712,6 +713,10 @@ object EncodeJob {
     upsertPhaseHook("marked")
     val swapRecords = finishSwap(spark, outDir, actions)
     upsertPhaseHook("swapped")
+    // the delta temp table is only an input to the (now committed) swap;
+    // an orphan from a crash before this point is cleared by the next
+    // upsert's stale-junk delete above
+    if (fs.exists(deltaTmpPath)) fs.delete(deltaTmpPath, true)
 
     // --- phase 3: delta rows homed in UNaffected partitions are brand-new
     // urls there — plain incremental append (absent -> present per url)
@@ -756,16 +761,27 @@ object EncodeJob {
     * repartition would shuffle) — then the narrow extract + spillable
     * in-partition sort + streaming kernel.
     */
+  /** Chunk ids at or above this mark a row as coming from an upsert's
+    * DELTA temp table inside [[compactedChunkStream]] (its replacement
+    * rows must survive the `dropUrls` filter that removes their stored
+    * generation). Live tables never reach this id: rewrites reset ids to
+    * 0 and appends offset from max+1, so crossing it would take ~2.7e8
+    * chunk generations in one partition.
+    */
+  private[graft] val UpsertDeltaChunkBase: Int = 1 << 28
+
   private[graft] def compactedChunkStream(
       spark: SparkSession,
       outDir: String,
       cfg: EncodeConfig,
       selected: Seq[Int],
       reencode: Boolean,
-      dropUrls: Set[String] = Set.empty
+      dropUrls: Set[String] = Set.empty,
+      deltaDir: Option[String] = None
   ): Dataset[EncodedChunk] = {
     import spark.implicits._
     require(selected.nonEmpty, "compactedChunkStream needs at least one partition")
+    val fs = chunksFs(spark, outDir)
     val leafSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.Encoders.product[EncodedChunk].schema
         .filterNot(_.name == "part_id"))
@@ -781,18 +797,30 @@ object EncodeJob {
         case Seq(a) => a
       }.toSeq)
     val chunkRowsDf = balancedUnion(selected.map { pid =>
-      spark.read.schema(leafSchema)
+      val live = spark.read.schema(leafSchema)
         .parquet(s"${chunksPath(outDir)}/part_id=$pid")
-        .withColumn("part_id", lit(pid))
-        .coalesce(1)
+      // an upsert's delta chunks join the SAME single-task branch as the
+      // partition's stored chunks (a separate branch would emit the same
+      // part's chunks from two tasks and collide on chunk ids)
+      val withDelta = deltaDir
+        .map(d => new org.apache.hadoop.fs.Path(d, s"part_id=$pid"))
+        .filter(fs.exists)
+        .map(p => live.unionByName(spark.read.schema(leafSchema).parquet(p.toString)))
+        .getOrElse(live)
+      withDelta.withColumn("part_id", lit(pid)).coalesce(1)
     })
 
     val bias = cfg.bwtBias
     val forceReencode = reencode
     val drop = dropUrls // capture the set, not `this`
     val pre = chunkRowsDf.as[EncodedChunk].mapPartitions { it =>
-      val rows = it.flatMap(c => compactPreRows(c, bias, forceReencode))
-      if (drop.isEmpty) rows else rows.filterNot(r => drop.contains(r._1))
+      it.flatMap { c =>
+        val rows = compactPreRows(c, bias, forceReencode)
+        // delta chunks carry the REPLACEMENT rows of the very urls being
+        // dropped from the stored generation — never filter those
+        if (drop.isEmpty || c.chunk_id >= UpsertDeltaChunkBase) rows
+        else rows.filterNot(r => drop.contains(r._1))
+      }
     }
     pre.toDF()
       .sortWithinPartitions($"_6", $"_1") // narrow: no exchange, spillable

@@ -911,6 +911,10 @@ class SparkJobsSpec extends AnyFunSuite {
       "before the swap commit a reader must see the OLD versions (never absent)")
     assert(seen("swapped") == refreshed.map(p => p.url -> p.text).toMap,
       "right after the swap a reader must see the NEW versions")
+    // the rewrite folds the delta INTO the re-slice: upsert leaves its
+    // partitions perfectly laid out, not fragmented with tail chunks
+    assert(EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0).isEmpty,
+      "upsert must defragment the partitions it touches")
 
     // crash right after the swap intent is recorded: readers fail fast,
     // the roll-forward lands the new rows, nothing is ever 'neither'
