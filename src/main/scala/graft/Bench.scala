@@ -212,8 +212,12 @@ object Bench {
     // drift 15-50% across windows (BENCH/BASELINE.md §host-drift), and a
     // single best-of-2 on the outliers separates code regressions from
     // window noise at the cost of re-running only what looks wrong
+    // the clean line only applies to the exact configuration it was
+    // measured at (sf0.1 dir, 32 cpus, default pages size) — anything
+    // else would re-run every query against an inapplicable line
     val driftGate: Map[String, Double] =
-      if (sfDir.contains("sf0.1") && sys.env.get("SPARK_GRAFT_PAGES").isEmpty) CleanLineSf01
+      if (sfDir.endsWith("sf0.1") && cpus == "32" &&
+          sys.env.get("SPARK_GRAFT_PAGES").isEmpty) CleanLineSf01
       else Map.empty
     val results = workloads(sfDir).map { case (name, fn) =>
       def pass(): (Double, Long, Long) = {
@@ -223,14 +227,16 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, bytes, rows)
       }
-      val (sec1, bytes, rows) = pass()
-      val (sec, reran) = driftGate.get(name) match {
-        case Some(clean) if sec1 > 2 * clean =>
-          val (sec2, _, _) = pass()
-          (math.min(sec1, sec2), true)
-        case _ => (sec1, false)
+      val first = pass()
+      val passes = driftGate.get(name) match {
+        case Some(clean) if first._1 > 2 * clean => Seq(first, pass())
+        case _ => Seq(first)
       }
-      (name, sec, bytes, rows, reran)
+      // best SUCCESSFUL pass: a failed pass (bytes = -1) returns fast and
+      // must never win the min, nor poison bytes when the other succeeded
+      val ok = passes.filter(_._2 >= 0)
+      val (sec, bytes, rows) = if (ok.nonEmpty) ok.minBy(_._1) else passes.head
+      (name, sec, bytes, rows, passes.length > 1)
     }
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v, _, _, _) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -190,8 +190,11 @@ object EncodeJob {
     new org.apache.hadoop.fs.Path(outDir, "_writer.lock")
 
   /** A lease this much older than now is presumed orphaned by a dead
-    * writer (the holder releases in a `finally`, so only a JVM kill
-    * strands one) and is broken automatically on the next acquisition.
+    * writer (the holder releases in a `finally` AND renews the lock's
+    * mtime on a heartbeat every third of this interval while the write
+    * runs, so only a JVM kill strands one — a healthy multi-hour
+    * compaction never reads as stale) and is broken automatically on the
+    * next acquisition.
     */
   val StaleWriterLockMs: Long = 30L * 60 * 1000
 
@@ -199,6 +202,29 @@ object EncodeJob {
   // inner delete/append and append's bootstrap run() re-enter the lease
   // they already hold instead of deadlocking on their own lock file
   private val heldLocks = new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  // daemon heartbeat pool renewing held leases' mtimes
+  private lazy val leaseRenewer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-writer-lease-renewer"); t.setDaemon(true); t
+    })
+
+  /** The acquisition uuid stored in the lock file — ownership proof, so a
+    * writer only ever renews/releases ITS OWN lease (never one that an
+    * operator broke and another writer re-acquired mid-flight).
+    */
+  private def readLockUuid(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path
+  ): Option[String] =
+    try {
+      val st = fs.getFileStatus(lock)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(lock)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, UTF_8).split('\n').find(_.startsWith("uuid="))
+        .map(_.stripPrefix("uuid="))
+    } catch { case _: java.io.IOException => None }
 
   /** Manually clear an orphaned writer lease (a crashed writer's lock also
     * goes stale on its own after [[StaleWriterLockMs]]). Returns true if a
@@ -209,10 +235,19 @@ object EncodeJob {
     fs.delete(writerLockPath(outDir), false)
   }
 
-  /** Acquire the writer lease (atomic create-no-overwrite of the lock
-    * file), run `body`, release. Reentrant per thread. Acquisition of a
-    * held lease fails with a named error rather than blocking — the
-    * caller's orchestration is wrong, and waiting would only serialize the
+  /** Acquire the writer lease (create-no-overwrite of the lock file —
+    * atomic on HDFS; on the local FS it is check-then-create, so a
+    * same-instant double-acquire is additionally guarded by the uuid
+    * read-back below), run `body`, release. While held, a daemon
+    * heartbeat renews the lock's mtime every `StaleWriterLockMs / 3` so a
+    * long-running write (a multi-hour corpus compaction) never reads as
+    * stale to a contender. Renewal and release are OWNERSHIP-CHECKED: a
+    * writer only touches a lock file that still carries its own
+    * acquisition uuid, so if an operator force-broke the lease and
+    * another writer took it, the first writer's release cannot delete the
+    * second's lock. Reentrant per thread. Acquisition of a held lease
+    * fails with a named error rather than blocking — the caller's
+    * orchestration is wrong, and waiting would only serialize the
     * corruption hazard, not remove it.
     */
   private[graft] def withWriterLock[T](spark: SparkSession, outDir: String)(body: => T): T = {
@@ -221,14 +256,18 @@ object EncodeJob {
     val key = fs.makeQualified(lock).toString
     val me = Thread.currentThread()
     if (heldLocks.get(key) eq me) return body // reentrant inner call
+    val uuid = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
         fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
-        val out = fs.create(lock, false) // atomic: fails if the file exists
+        val out = fs.create(lock, false) // fails if the file exists
         out.write((s"app=${spark.sparkContext.applicationId} thread=${me.getName} " +
-          s"ts=${System.currentTimeMillis()}").getBytes(UTF_8))
+          s"ts=${System.currentTimeMillis()}\nuuid=$uuid\n").getBytes(UTF_8))
         out.close()
-        true
+        // read-back closes the stale-break race: if another contender
+        // replaced the file between our create and here, back off
+        // (without deleting THEIR lock)
+        readLockUuid(fs, lock).contains(uuid)
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired) {
@@ -247,20 +286,27 @@ object EncodeJob {
           val buf = new Array[Byte](st.getLen.toInt)
           val in = fs.open(lock)
           try in.readFully(0, buf) finally in.close()
-          new String(buf, UTF_8)
+          new String(buf, UTF_8).replace('\n', ' ')
         } catch { case _: java.io.IOException => "unreadable" }
       throw new IllegalStateException(
         s"another writer holds the lease on encoded table $outDir [$holder]: " +
           "concurrent writes are unsupported (chunk-id allocation and the _SWAP " +
           "machinery assume a single writer) — if the holder is dead, " +
           "EncodeJob.breakWriterLock clears the lease (it also goes stale after " +
-          s"${StaleWriterLockMs / 60000} min)")
+          s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
     }
     heldLocks.put(key, me)
+    val renewal = leaseRenewer.scheduleAtFixedRate(() => {
+      try if (readLockUuid(fs, lock).contains(uuid))
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      catch { case _: Throwable => () } // renewal is best-effort
+    }, StaleWriterLockMs / 3, StaleWriterLockMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
+      renewal.cancel(false)
       heldLocks.remove(key)
-      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      try if (readLockUuid(fs, lock).contains(uuid)) fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
     }
   }
 
@@ -618,34 +664,43 @@ object EncodeJob {
     import spark.implicits._
     requireLayoutMatch(spark, outDir, cfg)
     completePendingCompactSwap(spark, outDir)
+    // persist once: every later step (bound check, url collect, delta
+    // encode, rest split/append) re-reads the deduped delta — without
+    // this, each one re-runs the dedupe window AND re-scans the source
     val deduped = dedupeDelta(delta)
-    // bound BEFORE collecting urls to the driver: the limit caps what the
-    // count materializes, so an oversized delta fails loudly instead of
-    // OOMing the driver on the way to the bound check
-    val ceiling = maxUpsertUrlsForTest.getOrElse(MaxUpsertUrls)
-    val groupSize = upsertGroupSizeForTest.getOrElse(MaxDeleteUrls)
-    val nUrls = deduped.select($"url").limit(ceiling + 1).count()
-    require(nUrls <= ceiling,
-      s"upsert is bounded at $ceiling distinct urls per call (delta has more): " +
-        "a refresh this size is a bulk rebuild — re-encode the affected partitions " +
-        "with run() instead")
-    if (nUrls == 0) spark.emptyDataset[LineageRecord]
-    else if (nUrls <= groupSize) upsertGroup(spark, deduped, outDir, cfg)
-    else {
-      // hash-group the urls (never collected as one set): each group is a
-      // full, per-url-atomic upsert; /2 headroom keeps every group under
-      // the bound despite hash imbalance
-      val groups = math.ceil(nUrls.toDouble / math.max(1, groupSize / 2)).toInt
-      deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bound BEFORE collecting urls to the driver: the limit caps what
+      // the count materializes, so an oversized delta fails loudly
+      // instead of OOMing the driver on the way to the bound check
+      val ceiling = maxUpsertUrlsForTest.getOrElse(MaxUpsertUrls)
+      val groupSize = upsertGroupSizeForTest.getOrElse(MaxDeleteUrls)
+      val nUrls = deduped.select($"url").limit(ceiling + 1).count()
+      require(nUrls <= ceiling,
+        s"upsert is bounded at $ceiling distinct urls per call (delta has more): " +
+          "a refresh this size is a bulk rebuild — re-encode the affected partitions " +
+          "with run() instead")
+      if (nUrls == 0) spark.emptyDataset[LineageRecord]
+      else if (nUrls <= groupSize) upsertGroup(spark, deduped, outDir, cfg)
+      else {
+        // hash-group the urls (never collected as one set): each group is
+        // a full, per-url-atomic upsert; /2 headroom keeps every group
+        // under the bound despite hash imbalance
+        val groups = math.ceil(nUrls.toDouble / math.max(1, groupSize / 2)).toInt
         val recs = (0 until groups).flatMap { g =>
           upsertGroup(spark,
             deduped.filter(pmod(xxhash64($"url"), lit(groups)) === g), outDir, cfg)
             .collect().toSeq
         }
-        spark.createDataset(recs)
-      } finally { deduped.unpersist(); () }
-    }
+        // a partition whose urls hash into several groups is rewritten by
+        // each: keep only the LAST record per part (it reflects the final
+        // layout) so callers aggregating the return value don't
+        // double-count
+        val lastByPart = scala.collection.mutable.LinkedHashMap.empty[Int, LineageRecord]
+        recs.foreach(r => lastByPart(r.part_id) = r)
+        spark.createDataset(lastByPart.values.toSeq)
+      }
+    } finally { deduped.unpersist(); () }
   }
 
   /** One bounded upsert group: staged partition rewrite-with-replacement +

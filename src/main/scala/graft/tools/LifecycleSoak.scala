@@ -101,8 +101,12 @@ object LifecycleSoak {
       // spot gates through the point-read path
       val delGone = DecodeJob.lookupUrls(spark, out, delUrls.take(20)).count()
       val wipeGone = DecodeJob.lookupUrls(spark, out, wipeUrls.take(20)).count()
-      val upSample = refresh.select($"url").as[String].head(20).toSeq
-      val upSeen = DecodeJob.lookupUrls(spark, out, upSample).collect()
+      // one fetch for urls AND expected texts (two head() calls could in
+      // principle pick different rows), compared exactly — a null text
+      // must fail the gate, not pass it
+      val upExpect = refresh.select($"url", $"text").as[(String, String)].head(20).toMap
+      val upSeen = DecodeJob.lookupUrls(spark, out, upExpect.keys.toSeq).collect()
+        .map(p => p.url -> p.text).toMap
 
       // lineage must have folded to O(partitions) despite 5+ write
       // generations: exactly one row per partition (incl. drop tombstones)
@@ -121,8 +125,7 @@ object LifecycleSoak {
         "row_count" -> (report.rows_decoded == expectedRows),
         "redelivered_delete_noop" -> (redelivered == 0L),
         "deleted_absent" -> (delGone == 0L && wipeGone == 0L),
-        "upsert_won" -> (upSeen.length == upSample.length &&
-          upSeen.forall(p => p.text == null || p.text.startsWith("refreshed "))),
+        "upsert_won" -> (upSeen == upExpect),
         "tombstone_durable" -> !new java.io.File(
           s"${EncodeJob.chunksPath(out)}/part_id=$wipedPid").exists(),
         "defragmented" -> fragAfter.isEmpty,
