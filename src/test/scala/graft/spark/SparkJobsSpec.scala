@@ -935,6 +935,70 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(DecodeJob.run(spark, out).count() == 120)
   }
 
+  test("upsert's rewrite is byte-identical to a fresh encode of the final rows; plan exchange-free; pre-marker crash is inert") {
+    import spark.implicits._
+    val out = tmpDir("upsert_ident")
+    val fresh = tmpDir("upsert_fresh")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    val all = PagesGen.generate(spark, 130, partitions = 2).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, cfg)
+    def bump(p: Page) = p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(1800)),
+      text = "fresh " + p.text)
+    val delta = all.take(12).map(bump)
+
+    // pin the rewrite-with-delta pipeline's plan from inside the commit
+    // window (the delta temp table only exists there): union of coalesced
+    // per-dir scans + in-partition sort + kernels — no Exchange anywhere
+    var rewritePlan = ""
+    EncodeJob.upsertPhaseHook = {
+      case "staged" if rewritePlan.isEmpty =>
+        val pids = spark.createDataset(delta.toIndexedSeq)
+          .withColumn("part_id", EncodeJob.partIdCol(cfg))
+          .select($"part_id").distinct().as[Int].collect().toSeq.sorted
+        rewritePlan = EncodeJob.compactedChunkStream(spark, out, cfg, pids,
+          reencode = false, dropUrls = delta.map(_.url).toSet,
+          deltaDir = Some(EncodeJob.chunksPath(out) + "_upsert_delta_tmp"))
+          .queryExecution.executedPlan.toString
+      case _ => ()
+    }
+    try EncodeJob.upsert(spark, spark.createDataset(delta.toIndexedSeq), out, cfg)
+    finally EncodeJob.upsertPhaseHook = _ => ()
+    assert(rewritePlan.nonEmpty && !rewritePlan.contains("Exchange"),
+      s"upsert's rewrite plan must not shuffle:\n$rewritePlan")
+
+    // the staged re-slice must reproduce EXACTLY what a fresh bootstrap
+    // of the final logical rows produces — per-chunk, per-column payload
+    // hashes, not just decode equality (same pin as compact's)
+    EncodeJob.run(spark,
+      spark.createDataset((delta ++ all.drop(12)).toIndexedSeq), fresh, cfg)
+    assert(chunkHashMap(out) == chunkHashMap(fresh),
+      "post-upsert chunks must be byte-identical to a fresh encode of the final rows")
+    val a = spark.read.parquet(EncodeJob.lineagePath(out))
+      .as[LineageRecord].collect().sortBy(_.part_id).toSeq
+    val b = spark.read.parquet(EncodeJob.lineagePath(fresh))
+      .as[LineageRecord].collect().sortBy(_.part_id).toSeq
+    assert(a == b, s"lineage diverged:\n$a\nvs\n$b")
+
+    // a crash BEFORE the swap intent (staging fully written, no marker)
+    // leaves the live table untouched and readers unblocked; the re-run
+    // discards the stale staging and completes
+    val delta2 = all.slice(30, 36).map(bump)
+    EncodeJob.upsertPhaseHook =
+      ph => if (ph == "staged") throw new RuntimeException("injected crash pre-marker")
+    try intercept[RuntimeException](
+      EncodeJob.upsert(spark, spark.createDataset(delta2.toIndexedSeq), out, cfg))
+    finally EncodeJob.upsertPhaseHook = _ => ()
+    val mid = DecodeJob.lookupUrls(spark, out, delta2.map(_.url).toSeq).collect()
+      .map(p => p.url -> p.text).toMap
+    assert(mid == all.slice(30, 36).map(p => p.url -> p.text).toMap,
+      "pre-marker crash must leave the OLD versions live and readable")
+    EncodeJob.upsert(spark, spark.createDataset(delta2.toIndexedSeq), out, cfg)
+    val after = DecodeJob.lookupUrls(spark, out, delta2.map(_.url).toSeq).collect()
+      .map(p => p.url -> p.text).toMap
+    assert(after == delta2.map(p => p.url -> p.text).toMap)
+  }
+
   test("upsert splits oversized deltas into bounded groups; the ceiling fails before any collect") {
     import spark.implicits._
     val out = tmpDir("upsert_groups")
