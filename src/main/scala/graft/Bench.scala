@@ -216,7 +216,9 @@ object Bench {
     // measured at (sf0.1 dir, 32 cpus, default pages size) — anything
     // else would re-run every query against an inapplicable line
     val driftGate: Map[String, Double] =
-      if (sfDir.endsWith("sf0.1") && cpus == "32" &&
+      // stripped of trailing slashes so "/sf0.1/" still gates — a silently
+      // disabled gate is exactly the un-adjudicable snapshot it prevents
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1") && cpus == "32" &&
           sys.env.get("SPARK_GRAFT_PAGES").isEmpty) CleanLineSf01
       else Map.empty
     val results = workloads(sfDir).map { case (name, fn) =>
@@ -228,24 +230,29 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, bytes, rows)
       }
       val first = pass()
-      val passes = driftGate.get(name) match {
-        case Some(clean) if first._1 > 2 * clean => Seq(first, pass())
-        case _ => Seq(first)
-      }
+      // re-run once on a drift outlier (>2x the committed clean line) or
+      // on a FAILURE (could be transient — and a fast failure must never
+      // be reported as a legitimate, better-looking time)
+      val rerun = first._2 < 0 ||
+        driftGate.get(name).exists(clean => first._1 > 2 * clean)
+      val passes = if (rerun) Seq(first, pass()) else Seq(first)
       // best SUCCESSFUL pass: a failed pass (bytes = -1) returns fast and
       // must never win the min, nor poison bytes when the other succeeded
       val ok = passes.filter(_._2 >= 0)
       val (sec, bytes, rows) = if (ok.nonEmpty) ok.minBy(_._1) else passes.head
-      (name, sec, bytes, rows, passes.length > 1)
+      (name, sec, bytes, rows, passes.length > 1, ok.isEmpty)
     }
     val total = results.map(_._2).sum
-    val qs = results.map { case (k, v, _, _, _) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, _, _, true) => s""""$k"""" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _, _, _, _) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val reruns = results.collect { case (k, _, _, _, true, _) => s""""$k"""" }.mkString("[", ",", "]")
+    // queries with NO successful pass — their times above are failure
+    // times, not results; a non-empty list means the snapshot is invalid
+    val failed = results.collect { case (k, _, _, _, _, true) => s""""$k"""" }.mkString("[", ",", "]")
     val encSec = results.find(_._1 == "encode_pages").map(_._2).getOrElse(0.0)
     val encBytes = results.find(_._1 == "encode_pages").map(_._3).getOrElse(0L)
     val gbps = if (encSec > 0) encBytes / 1e9 / encSec else 0.0
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","encode_gb_per_sec":${f"$gbps%.4f"},"encode_bytes":$encBytes,"cpus":$cpus,"loadavg":${f"$loadAtStart%.2f"},"loadavg_end":${f"${loadavg()}%.2f"},"reruns":$reruns}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","encode_gb_per_sec":${f"$gbps%.4f"},"encode_bytes":$encBytes,"cpus":$cpus,"loadavg":${f"$loadAtStart%.2f"},"loadavg_end":${f"${loadavg()}%.2f"},"reruns":$reruns,"failed":$failed}"""
     )
     spark.stop()
   }

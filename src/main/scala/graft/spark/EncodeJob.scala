@@ -203,11 +203,31 @@ object EncodeJob {
   // they already hold instead of deadlocking on their own lock file
   private val heldLocks = new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
-  // daemon heartbeat pool renewing held leases' mtimes
-  private lazy val leaseRenewer =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "graft-writer-lease-renewer"); t.setDaemon(true); t
-    })
+  /** Raw lock-file content, retried through transient FS hiccups (a DN
+    * blip on release must not strand a healthy table behind a 30-minute
+    * staleness wait). None = missing or unreadable after retries.
+    */
+  private def readLockFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path
+  ): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val st = fs.getFileStatus(lock)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(lock)
+        try in.readFully(0, buf) finally in.close()
+        return Some(new String(buf, UTF_8))
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: java.io.IOException if attempt < 2 =>
+          attempt += 1; Thread.sleep(50)
+        case _: java.io.IOException => return None
+      }
+    }
+    None // unreachable
+  }
 
   /** The acquisition uuid stored in the lock file — ownership proof, so a
     * writer only ever renews/releases ITS OWN lease (never one that an
@@ -217,14 +237,8 @@ object EncodeJob {
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path
   ): Option[String] =
-    try {
-      val st = fs.getFileStatus(lock)
-      val buf = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(lock)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, UTF_8).split('\n').find(_.startsWith("uuid="))
-        .map(_.stripPrefix("uuid="))
-    } catch { case _: java.io.IOException => None }
+    readLockFile(fs, lock).flatMap(
+      _.split('\n').find(_.startsWith("uuid=")).map(_.stripPrefix("uuid=")))
 
   /** Manually clear an orphaned writer lease (a crashed writer's lock also
     * goes stale on its own after [[StaleWriterLockMs]]). Returns true if a
@@ -275,19 +289,22 @@ object EncodeJob {
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
         catch { case _: java.io.FileNotFoundException => true } // holder just released
       if (stale) {
-        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+        // FENCED break: rename the stale file aside instead of deleting it
+        // — rename is atomic and fails for every contender but one, so a
+        // second contender whose staleness verdict was formed on the OLD
+        // file can never remove the winner's FRESH lock (delete-then-
+        // recreate would let both proceed). Whether or not our rename won,
+        // retry the create: either the winner hasn't re-created yet (we
+        // race it through create-no-overwrite + uuid read-back, at most
+        // one survives) or it has and our create fails cleanly.
+        val aside = new org.apache.hadoop.fs.Path(outDir, s"_writer.lock.stale.$uuid")
+        val broke = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
+        if (broke) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
         acquired = tryAcquire()
       }
     }
     if (!acquired) {
-      val holder =
-        try {
-          val st = fs.getFileStatus(lock)
-          val buf = new Array[Byte](st.getLen.toInt)
-          val in = fs.open(lock)
-          try in.readFully(0, buf) finally in.close()
-          new String(buf, UTF_8).replace('\n', ' ')
-        } catch { case _: java.io.IOException => "unreadable" }
+      val holder = readLockFile(fs, lock).map(_.replace('\n', ' ')).getOrElse("unreadable")
       throw new IllegalStateException(
         s"another writer holds the lease on encoded table $outDir [$holder]: " +
           "concurrent writes are unsupported (chunk-id allocation and the _SWAP " +
@@ -296,16 +313,34 @@ object EncodeJob {
           s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
     }
     heldLocks.put(key, me)
-    val renewal = leaseRenewer.scheduleAtFixedRate(() => {
+    // per-lease daemon renewer (not a shared single-thread pool): one
+    // renewal hanging on a stalled FS call must not starve the heartbeat
+    // of every OTHER lease this JVM holds — a healthy multi-hour write on
+    // a healthy table would read as stale because an unrelated namenode
+    // hung. Leases are per-write-call, so one short-lived thread each is
+    // cheap; shutdownNow also interrupts an in-flight hung renewal rather
+    // than letting cancel(false) leave it running forever.
+    val renewer =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, s"graft-writer-lease-renewer-$uuid"); t.setDaemon(true); t
+      })
+    renewer.scheduleAtFixedRate(() => {
       try if (readLockUuid(fs, lock).contains(uuid))
         fs.setTimes(lock, System.currentTimeMillis(), -1)
       catch { case _: Throwable => () } // renewal is best-effort
     }, StaleWriterLockMs / 3, StaleWriterLockMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      renewal.cancel(false)
+      renewer.shutdownNow()
       heldLocks.remove(key)
-      try if (readLockUuid(fs, lock).contains(uuid)) fs.delete(lock, false)
+      // release unless the lock PROVABLY belongs to someone else (our
+      // lease was force-broken and re-acquired mid-flight). An unreadable
+      // lock after retries is released too: refusing to would strand the
+      // common success path behind a 30-minute staleness wait on a
+      // transient read hiccup, while the misdelete it risks needs a
+      // force-break of OUR lease (>30 min heartbeat stall) to coincide
+      // with a persistent read failure that outlasts the retries.
+      try if (!readLockUuid(fs, lock).exists(_ != uuid)) fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
     }
   }
@@ -687,18 +722,18 @@ object EncodeJob {
         // a full, per-url-atomic upsert; /2 headroom keeps every group
         // under the bound despite hash imbalance
         val groups = math.ceil(nUrls.toDouble / math.max(1, groupSize / 2)).toInt
-        val recs = (0 until groups).flatMap { g =>
+        val touched = (0 until groups).flatMap { g =>
           upsertGroup(spark,
             deduped.filter(pmod(xxhash64($"url"), lit(groups)) === g), outDir, cfg)
-            .collect().toSeq
-        }
-        // a partition whose urls hash into several groups is rewritten by
-        // each: keep only the LAST record per part (it reflects the final
-        // layout) so callers aggregating the return value don't
-        // double-count
-        val lastByPart = scala.collection.mutable.LinkedHashMap.empty[Int, LineageRecord]
-        recs.foreach(r => lastByPart(r.part_id) = r)
-        spark.createDataset(lastByPart.values.toSeq)
+            .select($"part_id").as[Int].collect().toSeq
+        }.distinct.sorted
+        // per-group records mix ABSOLUTE swap rows (full-partition
+        // recomputes) with INCREMENTAL append rows (this group's added
+        // rows only), so no single group's record is the final word for a
+        // partition several groups touched — recompute every touched
+        // partition from the live chunk metadata (the same aggregation
+        // finishSwap uses), which is layout-final by construction
+        spark.createDataset(lineageFromChunks(spark, outDir, touched))
       }
     } finally { deduped.unpersist(); () }
   }

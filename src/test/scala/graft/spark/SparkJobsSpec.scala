@@ -1008,14 +1008,37 @@ class SparkJobsSpec extends AnyFunSuite {
     val refreshed = all.take(20).map(p => p.copy(
       warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(60)),
       text = "grp " + p.text))
+    // brand-new urls alongside the refreshes: some groups take the
+    // phase-3 APPEND path into partitions other groups already swapped,
+    // which is exactly the absolute-vs-incremental record mix the
+    // returned lineage must not be fooled by
+    val novel = (0 until 12).map(i =>
+      Page(s"https://grp-new.example/p$i", new java.sql.Timestamp(1000L * i),
+        null, s"novel text $i", "en"))
+    val delta = refreshed ++ novel
     // force the hash-group split path at spec scale (production: 100k)
     EncodeJob.upsertGroupSizeForTest = Some(4)
-    try EncodeJob.upsert(spark, spark.createDataset(refreshed.toIndexedSeq), out, cfg)
-    finally EncodeJob.upsertGroupSizeForTest = None
+    val returned =
+      try EncodeJob.upsert(spark, spark.createDataset(delta.toIndexedSeq), out, cfg)
+        .collect().toSeq
+      finally EncodeJob.upsertGroupSizeForTest = None
     val decoded = DecodeJob.run(spark, out).collect()
-    assert(decoded.length == 60)
-    refreshed.foreach(r =>
+    assert(decoded.length == 72)
+    delta.foreach(r =>
       assert(decoded.find(_.url == r.url).get.text == r.text, s"group upsert lost ${r.url}"))
+    // the returned records are layout-final: one per touched partition,
+    // row counts equal to what the chunk metadata actually holds (a
+    // keep-last-record scheme would under-report a partition a later
+    // group merely appended to after an earlier group's full rewrite)
+    assert(returned.map(_.part_id).distinct.length == returned.length,
+      "duplicate part ids in returned upsert lineage")
+    val chunkRows = spark.read.parquet(EncodeJob.chunksPath(out))
+      .groupBy($"part_id")
+      .agg(org.apache.spark.sql.functions.sum($"n_rows").as("n"))
+      .as[(Int, Long)].collect().toMap
+    returned.foreach(r =>
+      assert(r.n_rows == chunkRows(r.part_id),
+        s"part ${r.part_id}: returned ${r.n_rows} rows, chunks hold ${chunkRows(r.part_id)}"))
 
     // the ceiling is enforced via limit+count BEFORE the driver-side url
     // collect: a delta far past it fails loudly without being materialized
