@@ -270,7 +270,26 @@ object EncodeJob {
     val key = fs.makeQualified(lock).toString
     val me = Thread.currentThread()
     if (heldLocks.get(key) eq me) return body // reentrant inner call
+    // in-JVM gate FIRST (putIfAbsent is atomic): two threads of one JVM
+    // contending for the same table serialize here exactly, never
+    // reaching the FS create — which on the local FS is check-then-create
+    // and only probabilistically guarded by the uuid read-back. The lock
+    // FILE remains the cross-JVM guard (create-no-overwrite is atomic on
+    // HDFS). A force-broken lease does NOT abort the in-flight body (a
+    // running Spark job can't be safely interrupted from a heartbeat);
+    // ownership-checked renewal/release merely keeps that writer from
+    // ever touching the new holder's lock.
+    val prev = heldLocks.putIfAbsent(key, me)
+    if (prev != null)
+      throw new IllegalStateException(
+        s"another writer holds the lease on encoded table $outDir " +
+          s"[in-process thread ${prev.getName}]: concurrent writes are unsupported")
     val uuid = java.util.UUID.randomUUID().toString
+    // from here until the lease is confirmed, ANY failure must drop the
+    // in-JVM entry: leaking it would make this thread's NEXT call take the
+    // reentrant fast path and run without the FS lock at all
+    var leased = false
+    try {
     def tryAcquire(): Boolean =
       try {
         fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
@@ -312,7 +331,8 @@ object EncodeJob {
           "EncodeJob.breakWriterLock clears the lease (it also goes stale after " +
           s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
     }
-    heldLocks.put(key, me)
+    leased = true
+    } finally { if (!leased) heldLocks.remove(key) }
     // per-lease daemon renewer (not a shared single-thread pool): one
     // renewal hanging on a stalled FS call must not starve the heartbeat
     // of every OTHER lease this JVM holds — a healthy multi-hour write on

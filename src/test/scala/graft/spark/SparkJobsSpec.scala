@@ -874,6 +874,10 @@ class SparkJobsSpec extends AnyFunSuite {
     val lock = EncodeJob.writerLockPath(out)
     val os = fs.create(lock, false); os.write("app=dead".getBytes(UTF_8)); os.close()
     intercept[IllegalStateException](EncodeJob.compact(spark, out, cfg))
+    // the denied acquisition must not leak this thread's in-JVM entry: a
+    // retry from the SAME thread must fail the same way, not silently
+    // bypass the FS lock via the reentrant fast path
+    intercept[IllegalStateException](EncodeJob.compact(spark, out, cfg))
     assert(EncodeJob.breakWriterLock(spark, out))
     EncodeJob.compact(spark, out, cfg)
 
