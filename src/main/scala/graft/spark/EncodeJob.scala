@@ -332,6 +332,14 @@ object EncodeJob {
           s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
     }
     leased = true
+    // sweep aside-files orphaned by a breaker that crashed between its
+    // rename and delete — harmless clutter (their only purpose is to BE
+    // deleted), but on a table written for years they'd accumulate.
+    // Safe while we hold the lease: an aside-file is never read back.
+    try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+      .filter(_.getPath.getName.startsWith("_writer.lock.stale."))
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case _: java.io.IOException => () }
     } finally { if (!leased) heldLocks.remove(key) }
     // per-lease daemon renewer (not a shared single-thread pool): one
     // renewal hanging on a stalled FS call must not starve the heartbeat

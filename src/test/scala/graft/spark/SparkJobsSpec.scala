@@ -887,6 +887,13 @@ class SparkJobsSpec extends AnyFunSuite {
     EncodeJob.compact(spark, out, cfg) // auto-breaks and proceeds
     assert(!fs.exists(lock), "the lease must be released after the write")
     assert(DecodeJob.run(spark, out).count() == 39)
+
+    // an aside-file orphaned by a breaker crash (rename done, delete not)
+    // is swept by the next successful acquisition
+    val orphan = new org.apache.hadoop.fs.Path(out, "_writer.lock.stale.deadbeef")
+    val os3 = fs.create(orphan, false); os3.write("app=dead".getBytes(UTF_8)); os3.close()
+    EncodeJob.compact(spark, out, cfg)
+    assert(!fs.exists(orphan), "orphaned stale-break aside file must be swept")
   }
 
   test("upsert is per-url atomic: old until the swap, new right after; a crash at the marker rolls forward") {
