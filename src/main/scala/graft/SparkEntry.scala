@@ -865,6 +865,33 @@ object SparkEntry {
       require("""PushedFilters: \[[^\]]*url_max""".r.findFirstIn(plan).nonEmpty,
         s"prefix-overlap predicate must reach the parquet scan's PushedFilters:\n$plan")
       q
+    },
+
+    // --- table health snapshot (the ops verb): bootstrap + append, pin
+    // that describe's fragmentation count agrees with the compaction
+    // selector it summarizes, compact, then emit the final health row —
+    // the oracle recomputes the quiesced state (row count = source count,
+    // layout config, zero fragmentation, no pending repair, no lease)
+    // straight from `documents`, so the STORED metadata describe reads is
+    // checked against the source of truth.
+    "q57_describe_health" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/health_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      val pages = pagesFromDocs(s, dir)
+      val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
+      EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 4 != 3), outDir, cfg)
+      EncodeJob.append(s, pages.filter(p => hashDocId(p.url) % 4 == 3), outDir, cfg)
+      val mid = EncodeJob.describe(s, outDir).head()
+      require(mid.fragmented_parts ==
+        EncodeJob.fragmentedPartIds(s, outDir, cfg).length,
+        "describe's fragmentation count must agree with the compaction selector")
+      require(!mid.pending_swap && !mid.writer_lease_held,
+        "a quiesced table must report no pending swap and no held lease")
+      EncodeJob.compact(s, outDir, cfg)
+      EncodeJob.describe(s, outDir)
+        .select($"n_rows", $"n_partitions", $"chunk_rows",
+          $"fragmented_parts", $"pending_swap", $"writer_lease_held")
     }
   )
 
@@ -1024,6 +1051,14 @@ object SparkEntry {
       " WHERE 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) >= 'https://host2.example/d/3'" +
         " AND 'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) < 'https://host2.example/d/6'"),
     "q56_sql_prefix_read" -> pagesFromDocsOracle("text", " WHERE doc_id % 7 = 5"),
+    "q57_describe_health" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(8 AS INT) AS n_partitions,
+        |       CAST(16 AS INT) AS chunk_rows,
+        |       CAST(0 AS INT) AS fragmented_parts,
+        |       CAST(false AS BOOLEAN) AS pending_swap,
+        |       CAST(false AS BOOLEAN) AS writer_lease_held
+        |FROM documents""".stripMargin,
     "q03_bwt_rle_roundtrip" -> identityTextOracle,
     "q04_bwt_mtf_roundtrip" -> identityTextOracle,
     "q05_bwt_mtf_rle_roundtrip" -> identityTextOracle,

@@ -64,6 +64,19 @@ final case class LineageRecord(
     status: String
 )
 
+/** One-row health snapshot of an encoded table — see [[EncodeJob.describe]]. */
+final case class TableHealth(
+    n_rows: Long, // rows stored, summed from chunk metadata
+    n_chunks: Long,
+    n_parts_live: Int, // partition dirs holding at least one chunk
+    n_partitions: Int, // layout config from _meta (0 = wiped/absent table)
+    salt_factor: Int,
+    chunk_rows: Int,
+    fragmented_parts: Int, // partitions fragmentedPartIds would select
+    pending_swap: Boolean, // interrupted compaction/delete swap awaiting repair
+    writer_lease_held: Boolean // a writer currently holds _writer.lock
+)
+
 final case class EncodeConfig(
     numPartitions: Int = 32,
     saltFactor: Int = 4, // spreads each url-host over this many partitions
@@ -971,6 +984,41 @@ object EncodeJob {
       .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
       .filter($"n_chunks" > ceil($"n_rows" / lit(chunkRows.toDouble)) + lit(slackChunks))
       .select($"part_id").as[Int].collect().toSeq.sorted
+  }
+
+  /** One-row health snapshot of the encoded table at `outDir` — the ops
+    * surface for a long-lived store (is a repair pending? is a writer in
+    * flight? how fragmented did the append stream leave the layout?).
+    * Unlike the readers, `describe` never fails on a pending swap — a
+    * health probe must be usable exactly when the table is sick — so when
+    * `pending_swap` is true the chunk-derived counts reflect the
+    * half-swapped layout mid-repair, not the final state. Reads only the
+    * `part_id`/`n_rows` metadata columns of the chunks table (column-
+    * pruned scan, no payload IO) and collects one small tuple per live
+    * partition — O(partitions), same bound as [[fragmentedPartIds]].
+    */
+  def describe(spark: SparkSession, outDir: String): Dataset[TableHealth] = {
+    import spark.implicits._
+    val fs = chunksFs(spark, outDir)
+    val pending = fs.exists(swapMarkerPath(outDir))
+    val lease = fs.exists(writerLockPath(outDir))
+    val meta = readMeta(spark, outDir)
+    val (rows, chunks, partsLive, fragged) =
+      if (!hasCommittedChunks(spark, outDir)) (0L, 0L, 0, 0)
+      else {
+        val chunkRows = meta.map(_.chunkRows).getOrElse(EncodeConfig().chunkRows)
+        val per = spark.read.parquet(chunksPath(outDir))
+          .groupBy($"part_id")
+          .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
+          .select($"part_id", $"n_chunks", $"n_rows",
+            ($"n_chunks" > ceil($"n_rows" / lit(chunkRows.toDouble)) + lit(2)).as("frag"))
+          .as[(Int, Long, Long, Boolean)].collect()
+        (per.map(_._3).sum, per.map(_._2).sum, per.length, per.count(_._4))
+      }
+    spark.createDataset(Seq(TableHealth(
+      rows, chunks, partsLive,
+      meta.map(_.numPartitions).getOrElse(0), meta.map(_.saltFactor).getOrElse(0),
+      meta.map(_.chunkRows).getOrElse(0), fragged, pending, lease)))
   }
 
   /** Roll forward a compaction swap that crashed after its `_SWAP` marker

@@ -896,6 +896,51 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(!fs.exists(orphan), "orphaned stale-break aside file must be swept")
   }
 
+  test("describe reports table health without locking, even mid-swap or under a held lease") {
+    import spark.implicits._
+    val out = tmpDir("health")
+    // absent table -> all zeros, no flags
+    assert(EncodeJob.describe(spark, out).head() ==
+      TableHealth(0, 0, 0, 0, 0, 0, 0, false, false))
+
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 8)
+    val all = PagesGen.generate(spark, 48, partitions = 2).collect()
+    EncodeJob.run(spark, spark.createDataset(all.take(24).toIndexedSeq), out, cfg)
+    (0 until 3).foreach { i =>
+      EncodeJob.append(spark,
+        spark.createDataset(all.slice(24 + 8 * i, 32 + 8 * i).toIndexedSeq), out, cfg)
+    }
+    val mid = EncodeJob.describe(spark, out).head()
+    assert(mid.n_rows == 48 && mid.n_partitions == 2 && mid.chunk_rows == 8)
+    assert(mid.n_parts_live == 2)
+    assert(mid.fragmented_parts == EncodeJob.fragmentedPartIds(spark, out, cfg).length,
+      "describe must agree with the compaction selector")
+    assert(!mid.pending_swap && !mid.writer_lease_held)
+
+    // health stays readable while a writer holds the lease and while a
+    // swap is pending — exactly the states every other reader refuses
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val lock = EncodeJob.writerLockPath(out)
+    val osL = fs.create(lock, false); osL.write("app=x".getBytes(UTF_8)); osL.close()
+    assert(EncodeJob.describe(spark, out).head().writer_lease_held)
+    fs.delete(lock, false)
+    val tmp = new org.apache.hadoop.fs.Path(EncodeJob.compactTmpPath(out))
+    fs.mkdirs(tmp)
+    val mk = fs.create(new org.apache.hadoop.fs.Path(tmp, "_SWAP"), true)
+    mk.write("0;".getBytes(UTF_8)); mk.close()
+    intercept[IllegalArgumentException](DecodeJob.run(spark, out).count())
+    assert(EncodeJob.describe(spark, out).head().pending_swap)
+    fs.delete(tmp, true)
+
+    // compaction quiesces the layout: same rows, fewer (or equal) chunks,
+    // zero fragmentation
+    EncodeJob.compact(spark, out, cfg)
+    val fin = EncodeJob.describe(spark, out).head()
+    assert(fin.n_rows == 48 && fin.fragmented_parts == 0 && !fin.pending_swap)
+    assert(fin.n_chunks <= mid.n_chunks)
+  }
+
   test("upsert is per-url atomic: old until the swap, new right after; a crash at the marker rolls forward") {
     import spark.implicits._
     val out = tmpDir("upsert_atomic")
