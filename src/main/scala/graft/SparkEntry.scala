@@ -882,14 +882,14 @@ object SparkEntry {
       val cfg = EncodeConfig(numPartitions = 8, chunkRows = 16)
       EncodeJob.run(s, pages.filter(p => hashDocId(p.url) % 4 != 3), outDir, cfg)
       EncodeJob.append(s, pages.filter(p => hashDocId(p.url) % 4 == 3), outDir, cfg)
-      val mid = EncodeJob.describe(s, outDir).head()
+      val mid = EncodeJob.describe(s, outDir, cfg).head()
       require(mid.fragmented_parts ==
         EncodeJob.fragmentedPartIds(s, outDir, cfg).length,
         "describe's fragmentation count must agree with the compaction selector")
       require(!mid.pending_swap && !mid.writer_lease_held,
         "a quiesced table must report no pending swap and no held lease")
       EncodeJob.compact(s, outDir, cfg)
-      EncodeJob.describe(s, outDir)
+      EncodeJob.describe(s, outDir, cfg)
         .select($"n_rows", $"n_partitions", $"chunk_rows",
           $"fragmented_parts", $"pending_swap", $"writer_lease_held")
     }

@@ -298,92 +298,121 @@ object EncodeJob {
         s"another writer holds the lease on encoded table $outDir " +
           s"[in-process thread ${prev.getName}]: concurrent writes are unsupported")
     val uuid = java.util.UUID.randomUUID().toString
-    // from here until the lease is confirmed, ANY failure must drop the
-    // in-JVM entry: leaking it would make this thread's NEXT call take the
-    // reentrant fast path and run without the FS lock at all
-    var leased = false
+    // the in-JVM entry is ours from the putIfAbsent above until the
+    // OUTERMOST finally below: any failure path that leaked it would make
+    // this thread's next call take the reentrant fast path and write
+    // without the FS lock at all, while locking every other thread of the
+    // JVM out of the table forever (the 30-min staleness self-heal never
+    // runs because the in-JVM gate throws before the FS path is reached)
     try {
-    def tryAcquire(): Boolean =
-      try {
-        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
-        val out = fs.create(lock, false) // fails if the file exists
-        out.write((s"app=${spark.sparkContext.applicationId} thread=${me.getName} " +
-          s"ts=${System.currentTimeMillis()}\nuuid=$uuid\n").getBytes(UTF_8))
-        out.close()
-        // read-back closes the stale-break race: if another contender
-        // replaced the file between our create and here, back off
-        // (without deleting THEIR lock)
-        readLockUuid(fs, lock).contains(uuid)
-      } catch { case _: java.io.IOException => false }
-    var acquired = tryAcquire()
-    if (!acquired) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
-        catch { case _: java.io.FileNotFoundException => true } // holder just released
-      if (stale) {
-        // FENCED break: rename the stale file aside instead of deleting it
-        // — rename is atomic and fails for every contender but one, so a
-        // second contender whose staleness verdict was formed on the OLD
-        // file can never remove the winner's FRESH lock (delete-then-
-        // recreate would let both proceed). Whether or not our rename won,
-        // retry the create: either the winner hasn't re-created yet (we
-        // race it through create-no-overwrite + uuid read-back, at most
-        // one survives) or it has and our create fails cleanly.
-        val aside = new org.apache.hadoop.fs.Path(outDir, s"_writer.lock.stale.$uuid")
-        val broke = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
-        if (broke) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
-        acquired = tryAcquire()
+      def tryAcquire(): Boolean =
+        try {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+          val out = fs.create(lock, false) // fails if the file exists
+          out.write((s"app=${spark.sparkContext.applicationId} thread=${me.getName} " +
+            s"ts=${System.currentTimeMillis()}\nuuid=$uuid\n").getBytes(UTF_8))
+          out.close()
+          // read-back closes the stale-break race: if another contender
+          // replaced the file between our create and here, back off
+          // (without deleting THEIR lock)
+          readLockUuid(fs, lock).contains(uuid)
+        } catch { case _: java.io.IOException => false }
+      var acquired = tryAcquire()
+      if (!acquired) {
+        val stale =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
+          catch { case _: java.io.FileNotFoundException => true } // holder just released
+        if (stale) {
+          // FENCED break: rename the stale file aside instead of deleting
+          // it — rename is atomic, so of several contenders exactly one
+          // captures the file. But the rename captures whatever the lock
+          // IS at that instant, which may no longer be the file the
+          // staleness verdict was formed on (another contender can break
+          // and re-CREATE in our check-to-rename window) — so the break
+          // only stands if the captured file is ITSELF stale; a fresh
+          // capture is somebody's live lease and is renamed straight back.
+          val aside = new org.apache.hadoop.fs.Path(outDir, s"_writer.lock.stale.$uuid")
+          val broke = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
+          val keepBreak = broke && {
+            // rename preserves mtime, so the verdict re-check is exact
+            try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime > StaleWriterLockMs
+            catch { case _: java.io.IOException => false } // can't prove stale -> undo
+          }
+          if (broke && !keepBreak) {
+            // we yanked a live lease: restore it (or, if its owner's slot
+            // was already re-taken by a third contender, drop the capture
+            // — that owner was force-broken either way) and do not acquire
+            try if (!fs.rename(aside, lock)) fs.delete(aside, false)
+            catch { case _: java.io.IOException => () }
+          } else {
+            if (keepBreak) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
+            // whether or not our rename won: retry the create — either the
+            // winner hasn't re-created yet (we race it through
+            // create-no-overwrite + uuid read-back, at most one survives)
+            // or it has and our create fails cleanly
+            acquired = tryAcquire()
+          }
+        }
       }
-    }
-    if (!acquired) {
-      val holder = readLockFile(fs, lock).map(_.replace('\n', ' ')).getOrElse("unreadable")
-      throw new IllegalStateException(
-        s"another writer holds the lease on encoded table $outDir [$holder]: " +
-          "concurrent writes are unsupported (chunk-id allocation and the _SWAP " +
-          "machinery assume a single writer) — if the holder is dead, " +
-          "EncodeJob.breakWriterLock clears the lease (it also goes stale after " +
-          s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
-    }
-    leased = true
-    // sweep aside-files orphaned by a breaker that crashed between its
-    // rename and delete — harmless clutter (their only purpose is to BE
-    // deleted), but on a table written for years they'd accumulate.
-    // Safe while we hold the lease: an aside-file is never read back.
-    try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
-      .filter(_.getPath.getName.startsWith("_writer.lock.stale."))
-      .foreach(s => fs.delete(s.getPath, false))
-    catch { case _: java.io.IOException => () }
-    } finally { if (!leased) heldLocks.remove(key) }
-    // per-lease daemon renewer (not a shared single-thread pool): one
-    // renewal hanging on a stalled FS call must not starve the heartbeat
-    // of every OTHER lease this JVM holds — a healthy multi-hour write on
-    // a healthy table would read as stale because an unrelated namenode
-    // hung. Leases are per-write-call, so one short-lived thread each is
-    // cheap; shutdownNow also interrupts an in-flight hung renewal rather
-    // than letting cancel(false) leave it running forever.
-    val renewer =
-      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-        val t = new Thread(r, s"graft-writer-lease-renewer-$uuid"); t.setDaemon(true); t
-      })
-    renewer.scheduleAtFixedRate(() => {
-      try if (readLockUuid(fs, lock).contains(uuid))
-        fs.setTimes(lock, System.currentTimeMillis(), -1)
-      catch { case _: Throwable => () } // renewal is best-effort
-    }, StaleWriterLockMs / 3, StaleWriterLockMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try body
-    finally {
-      renewer.shutdownNow()
-      heldLocks.remove(key)
-      // release unless the lock PROVABLY belongs to someone else (our
-      // lease was force-broken and re-acquired mid-flight). An unreadable
-      // lock after retries is released too: refusing to would strand the
-      // common success path behind a 30-minute staleness wait on a
-      // transient read hiccup, while the misdelete it risks needs a
-      // force-break of OUR lease (>30 min heartbeat stall) to coincide
-      // with a persistent read failure that outlasts the retries.
-      try if (!readLockUuid(fs, lock).exists(_ != uuid)) fs.delete(lock, false)
-      catch { case _: java.io.IOException => () }
-    }
+      if (!acquired) {
+        val holder = readLockFile(fs, lock).map(_.replace('\n', ' ')).getOrElse("unreadable")
+        throw new IllegalStateException(
+          s"another writer holds the lease on encoded table $outDir [$holder]: " +
+            "concurrent writes are unsupported (chunk-id allocation and the _SWAP " +
+            "machinery assume a single writer) — if the holder is dead, " +
+            "EncodeJob.breakWriterLock clears the lease (it also goes stale after " +
+            s"${StaleWriterLockMs / 60000} min without heartbeat renewal)")
+      }
+      // the FS lease is ours: everything from here on runs under the
+      // release finally, so even a thread-exhausted renewer creation or a
+      // non-IO sweep failure cannot strand the lock file
+      try {
+        // sweep aside-files orphaned by a breaker that crashed between its
+        // rename and delete — harmless clutter (their only purpose is to
+        // BE deleted), but on a table written for years they'd accumulate.
+        // Safe while we hold the lease: an aside-file is never read back.
+        try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+          .filter(_.getPath.getName.startsWith("_writer.lock.stale."))
+          .foreach(s => fs.delete(s.getPath, false))
+        catch { case _: java.io.IOException => () }
+        // per-lease daemon renewer (not a shared single-thread pool): one
+        // renewal hanging on a stalled FS call must not starve the
+        // heartbeat of every OTHER lease this JVM holds — a healthy
+        // multi-hour write on a healthy table would read as stale because
+        // an unrelated namenode hung. Leases are per-write-call, so one
+        // short-lived thread each is cheap; shutdownNow also interrupts an
+        // in-flight hung renewal rather than letting cancel(false) leave
+        // it running forever.
+        val renewer =
+          java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+            val t = new Thread(r, s"graft-writer-lease-renewer-$uuid"); t.setDaemon(true); t
+          })
+        try {
+          renewer.scheduleAtFixedRate(() => {
+            try if (readLockUuid(fs, lock).contains(uuid))
+              fs.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: Throwable => () } // renewal is best-effort
+          }, StaleWriterLockMs / 3, StaleWriterLockMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+          body
+        } finally renewer.shutdownNow()
+      } finally {
+        // release unless the lock is provably NOT ours: a readable file
+        // carrying another uuid — or carrying NO uuid line at all (a
+        // foreign fence file, or another writer's partially-visible
+        // create after our lease was force-broken) — stays. A missing or
+        // unreadable-after-retries lock is released: refusing would
+        // strand the common success path behind a 30-minute staleness
+        // wait on a transient read hiccup, while the misdelete it risks
+        // needs a force-break of OUR lease (>30 min heartbeat stall) to
+        // coincide with a persistent read failure outlasting the retries.
+        val foreign = readLockFile(fs, lock).exists { c =>
+          !c.split('\n').find(_.startsWith("uuid="))
+            .map(_.stripPrefix("uuid=")).contains(uuid)
+        }
+        if (!foreign)
+          try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      }
+    } finally heldLocks.remove(key)
   }
 
   /** The one chunk-parquet writer configuration — shared by every path
@@ -966,24 +995,43 @@ object EncodeJob {
     * maintenance rewrite only what appends actually fragmented instead of
     * hand-picked partitions or the whole table.
     */
+  /** Per-partition (part_id, n_chunks, n_rows) from the chunks table's
+    * metadata columns (column-pruned scan, no payload IO; one small tuple
+    * per live partition) — the ONE aggregation behind both
+    * [[fragmentedPartIds]] and [[describe]], so the health probe and the
+    * compaction selector cannot diverge.
+    */
+  private def partChunkStats(
+      spark: SparkSession, outDir: String): Array[(Int, Long, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(chunksPath(outDir))
+      .groupBy($"part_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
+      .as[(Int, Long, Long)].collect()
+  }
+
+  /** True iff a partition's chunk count exceeds its ideal layout by more
+    * than `slackChunks` — shared by selector and health probe.
+    */
+  private def isFragmented(
+      nChunks: Long, nRows: Long, chunkRows: Int, slackChunks: Int): Boolean =
+    nChunks > math.ceil(nRows / chunkRows.toDouble) + slackChunks
+
   def fragmentedPartIds(
       spark: SparkSession,
       outDir: String,
       cfg: EncodeConfig = EncodeConfig(),
       slackChunks: Int = 2
   ): Seq[Int] = {
-    import spark.implicits._
     // a half-swapped table would silently mis-count (a mid-swap partition's
     // rows are missing entirely) — same fail-fast contract as the readers
     requireNoPendingSwap(spark, outDir)
     if (!hasCommittedChunks(spark, outDir)) return Seq.empty
     val chunkRows =
       readMeta(spark, outDir).map(_.chunkRows).getOrElse(cfg.chunkRows)
-    spark.read.parquet(chunksPath(outDir))
-      .groupBy($"part_id")
-      .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
-      .filter($"n_chunks" > ceil($"n_rows" / lit(chunkRows.toDouble)) + lit(slackChunks))
-      .select($"part_id").as[Int].collect().toSeq.sorted
+    partChunkStats(spark, outDir)
+      .filter { case (_, c, r) => isFragmented(c, r, chunkRows, slackChunks) }
+      .map(_._1).toSeq.sorted
   }
 
   /** One-row health snapshot of the encoded table at `outDir` — the ops
@@ -997,7 +1045,11 @@ object EncodeJob {
     * pruned scan, no payload IO) and collects one small tuple per live
     * partition — O(partitions), same bound as [[fragmentedPartIds]].
     */
-  def describe(spark: SparkSession, outDir: String): Dataset[TableHealth] = {
+  def describe(
+      spark: SparkSession,
+      outDir: String,
+      cfg: EncodeConfig = EncodeConfig(),
+      slackChunks: Int = 2): Dataset[TableHealth] = {
     import spark.implicits._
     val fs = chunksFs(spark, outDir)
     val pending = fs.exists(swapMarkerPath(outDir))
@@ -1006,14 +1058,13 @@ object EncodeJob {
     val (rows, chunks, partsLive, fragged) =
       if (!hasCommittedChunks(spark, outDir)) (0L, 0L, 0, 0)
       else {
-        val chunkRows = meta.map(_.chunkRows).getOrElse(EncodeConfig().chunkRows)
-        val per = spark.read.parquet(chunksPath(outDir))
-          .groupBy($"part_id")
-          .agg(count(lit(1)).as("n_chunks"), sum($"n_rows").as("n_rows"))
-          .select($"part_id", $"n_chunks", $"n_rows",
-            ($"n_chunks" > ceil($"n_rows" / lit(chunkRows.toDouble)) + lit(2)).as("frag"))
-          .as[(Int, Long, Long, Boolean)].collect()
-        (per.map(_._3).sum, per.map(_._2).sum, per.length, per.count(_._4))
+        // same chunkRows fallback chain and fragmentation predicate as
+        // fragmentedPartIds — a meta-less table or a non-default slack
+        // must read identically from the probe and the selector
+        val chunkRows = meta.map(_.chunkRows).getOrElse(cfg.chunkRows)
+        val per = partChunkStats(spark, outDir)
+        (per.map(_._3).sum, per.map(_._2).sum, per.length,
+          per.count { case (_, c, r) => isFragmented(c, r, chunkRows, slackChunks) })
       }
     spark.createDataset(Seq(TableHealth(
       rows, chunks, partsLive,

@@ -888,6 +888,17 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "the lease must be released after the write")
     assert(DecodeJob.run(spark, out).count() == 39)
 
+    // release never deletes a lock that is not provably OURS: a readable
+    // file with no uuid line (foreign fence / partially-visible create)
+    // must survive the release, unlike a missing or transiently-unreadable
+    // one
+    EncodeJob.withWriterLock(spark, out) {
+      fs.delete(lock, false)
+      val fo = fs.create(lock, false); fo.write("app=fence".getBytes(UTF_8)); fo.close()
+    }
+    assert(fs.exists(lock), "a uuid-less foreign lock must survive another writer's release")
+    assert(EncodeJob.breakWriterLock(spark, out))
+
     // an aside-file orphaned by a breaker crash (rename done, delete not)
     // is swept by the next successful acquisition
     val orphan = new org.apache.hadoop.fs.Path(out, "_writer.lock.stale.deadbeef")
@@ -915,6 +926,9 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(mid.n_parts_live == 2)
     assert(mid.fragmented_parts == EncodeJob.fragmentedPartIds(spark, out, cfg).length,
       "describe must agree with the compaction selector")
+    // ... at EVERY slack, not just the default (shared predicate)
+    assert(EncodeJob.describe(spark, out, cfg, slackChunks = 0).head().fragmented_parts ==
+      EncodeJob.fragmentedPartIds(spark, out, cfg, slackChunks = 0).length)
     assert(!mid.pending_swap && !mid.writer_lease_held)
 
     // health stays readable while a writer holds the lease and while a
