@@ -246,12 +246,17 @@ object EncodeJob {
     * writer only ever renews/releases ITS OWN lease (never one that an
     * operator broke and another writer re-acquired mid-flight).
     */
+  /** The ONE uuid-line parser — renewal, release, and the fenced break
+    * must never disagree about a lock file's ownership format.
+    */
+  private def parseLockUuid(content: String): Option[String] =
+    content.split('\n').find(_.startsWith("uuid=")).map(_.stripPrefix("uuid="))
+
   private def readLockUuid(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path
   ): Option[String] =
-    readLockFile(fs, lock).flatMap(
-      _.split('\n').find(_.startsWith("uuid=")).map(_.stripPrefix("uuid=")))
+    readLockFile(fs, lock).flatMap(parseLockUuid)
 
   /** Manually clear an orphaned writer lease (a crashed writer's lock also
     * goes stale on its own after [[StaleWriterLockMs]]). Returns true if a
@@ -319,30 +324,35 @@ object EncodeJob {
         } catch { case _: java.io.IOException => false }
       var acquired = tryAcquire()
       if (!acquired) {
+        // the verdict is formed on BOTH the mtime and the content of the
+        // lock: content (the acquisition uuid is random per lease) is the
+        // rename-mechanism-independent identity used to re-check the
+        // capture below — mtime would misjudge on object stores whose
+        // rename is copy-based and refreshes timestamps
+        val seenContent = readLockFile(fs, lock)
         val stale =
           try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
           catch { case _: java.io.FileNotFoundException => true } // holder just released
-        if (stale) {
+        if (stale && seenContent.nonEmpty) {
           // FENCED break: rename the stale file aside instead of deleting
           // it — rename is atomic, so of several contenders exactly one
           // captures the file. But the rename captures whatever the lock
           // IS at that instant, which may no longer be the file the
           // staleness verdict was formed on (another contender can break
           // and re-CREATE in our check-to-rename window) — so the break
-          // only stands if the captured file is ITSELF stale; a fresh
-          // capture is somebody's live lease and is renamed straight back.
+          // only stands if the captured file IS the judged one (content
+          // identity); a different capture is somebody's live lease and
+          // is renamed straight back.
           val aside = new org.apache.hadoop.fs.Path(outDir, s"_writer.lock.stale.$uuid")
           val broke = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
-          val keepBreak = broke && {
-            // rename preserves mtime, so the verdict re-check is exact
-            try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime > StaleWriterLockMs
-            catch { case _: java.io.IOException => false } // can't prove stale -> undo
-          }
+          val keepBreak = broke && readLockFile(fs, aside) == seenContent
           if (broke && !keepBreak) {
-            // we yanked a live lease: restore it (or, if its owner's slot
-            // was already re-taken by a third contender, drop the capture
-            // — that owner was force-broken either way) and do not acquire
-            try if (!fs.rename(aside, lock)) fs.delete(aside, false)
+            // we yanked a live lease: restore it. If the slot was already
+            // re-taken by a third contender the restore fails — leave the
+            // aside in place rather than deleting the yanked holder's
+            // lease record (it ages into the staleness-gated sweep), and
+            // do not acquire.
+            try { fs.rename(aside, lock); () }
             catch { case _: java.io.IOException => () }
           } else {
             if (keepBreak) { try fs.delete(aside, false) catch { case _: java.io.IOException => () } }
@@ -352,6 +362,10 @@ object EncodeJob {
             // or it has and our create fails cleanly
             acquired = tryAcquire()
           }
+        } else if (stale) {
+          // judged stale via absence (holder just released) — nothing to
+          // fence; race the slot through create-no-overwrite
+          acquired = tryAcquire()
         }
       }
       if (!acquired) {
@@ -368,11 +382,15 @@ object EncodeJob {
       // non-IO sweep failure cannot strand the lock file
       try {
         // sweep aside-files orphaned by a breaker that crashed between its
-        // rename and delete — harmless clutter (their only purpose is to
-        // BE deleted), but on a table written for years they'd accumulate.
-        // Safe while we hold the lease: an aside-file is never read back.
+        // rename and delete (or whose live-lease restore lost the slot) —
+        // clutter that would accumulate on a table written for years.
+        // STALENESS-GATED: a seconds-old aside may be a contender's
+        // in-flight capture mid-identity-check — deleting it would turn a
+        // legitimate break into a spurious failure — so only files old
+        // enough that no break can still be in flight are swept.
         try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
-          .filter(_.getPath.getName.startsWith("_writer.lock.stale."))
+          .filter(s => s.getPath.getName.startsWith("_writer.lock.stale.") &&
+            System.currentTimeMillis() - s.getModificationTime > StaleWriterLockMs)
           .foreach(s => fs.delete(s.getPath, false))
         catch { case _: java.io.IOException => () }
         // per-lease daemon renewer (not a shared single-thread pool): one
@@ -405,10 +423,8 @@ object EncodeJob {
         // wait on a transient read hiccup, while the misdelete it risks
         // needs a force-break of OUR lease (>30 min heartbeat stall) to
         // coincide with a persistent read failure outlasting the retries.
-        val foreign = readLockFile(fs, lock).exists { c =>
-          !c.split('\n').find(_.startsWith("uuid="))
-            .map(_.stripPrefix("uuid=")).contains(uuid)
-        }
+        val foreign =
+          readLockFile(fs, lock).exists(c => !parseLockUuid(c).contains(uuid))
         if (!foreign)
           try fs.delete(lock, false) catch { case _: java.io.IOException => () }
       }
@@ -988,13 +1004,6 @@ object EncodeJob {
       .mapPartitions(it => encodePreEncodedSorted(it, cfg.chunkRows, _ => (), bias))
   }
 
-  /** Partitions fragmented enough to pay for compaction: more committed
-    * chunks than `ceil(rows / chunkRows) + slackChunks`, from a
-    * metadata-only (nested-pruned) scan of the chunks table — the
-    * Iceberg-`rewrite_data_files`-style selection that lets routine
-    * maintenance rewrite only what appends actually fragmented instead of
-    * hand-picked partitions or the whole table.
-    */
   /** Per-partition (part_id, n_chunks, n_rows) from the chunks table's
     * metadata columns (column-pruned scan, no payload IO; one small tuple
     * per live partition) — the ONE aggregation behind both
@@ -1017,6 +1026,13 @@ object EncodeJob {
       nChunks: Long, nRows: Long, chunkRows: Int, slackChunks: Int): Boolean =
     nChunks > math.ceil(nRows / chunkRows.toDouble) + slackChunks
 
+  /** Partitions fragmented enough to pay for compaction: more committed
+    * chunks than `ceil(rows / chunkRows) + slackChunks`, from a
+    * metadata-only (nested-pruned) scan of the chunks table — the
+    * Iceberg-`rewrite_data_files`-style selection that lets routine
+    * maintenance rewrite only what appends actually fragmented instead of
+    * hand-picked partitions or the whole table.
+    */
   def fragmentedPartIds(
       spark: SparkSession,
       outDir: String,

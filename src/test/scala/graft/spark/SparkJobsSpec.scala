@@ -899,12 +899,16 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(fs.exists(lock), "a uuid-less foreign lock must survive another writer's release")
     assert(EncodeJob.breakWriterLock(spark, out))
 
-    // an aside-file orphaned by a breaker crash (rename done, delete not)
-    // is swept by the next successful acquisition
+    // an AGED aside-file orphaned by a breaker crash (rename done, delete
+    // not) is swept by the next successful acquisition; a FRESH one may be
+    // a contender's in-flight capture and must survive
     val orphan = new org.apache.hadoop.fs.Path(out, "_writer.lock.stale.deadbeef")
     val os3 = fs.create(orphan, false); os3.write("app=dead".getBytes(UTF_8)); os3.close()
     EncodeJob.compact(spark, out, cfg)
-    assert(!fs.exists(orphan), "orphaned stale-break aside file must be swept")
+    assert(fs.exists(orphan), "a fresh aside file (possible in-flight capture) must survive the sweep")
+    fs.setTimes(orphan, System.currentTimeMillis() - EncodeJob.StaleWriterLockMs - 60000, -1)
+    EncodeJob.compact(spark, out, cfg)
+    assert(!fs.exists(orphan), "an aged orphaned aside file must be swept")
   }
 
   test("describe reports table health without locking, even mid-swap or under a held lease") {
