@@ -211,6 +211,12 @@ object EncodeJob {
     */
   val StaleWriterLockMs: Long = 30L * 60 * 1000
 
+  /** Tolerance when comparing a file's server-side mtime against this
+    * client's clock in the fenced lease break — covers client/namenode
+    * clock skew without reopening a meaningful renewal window.
+    */
+  private val ClockSkewAllowanceMs: Long = 10000
+
   // reentrancy registry (qualified lock path -> holding thread): upsert's
   // inner delete/append and append's bootstrap run() re-enter the lease
   // they already hold instead of deadlocking on their own lock file
@@ -242,16 +248,16 @@ object EncodeJob {
     None // unreachable
   }
 
-  /** The acquisition uuid stored in the lock file — ownership proof, so a
-    * writer only ever renews/releases ITS OWN lease (never one that an
-    * operator broke and another writer re-acquired mid-flight).
-    */
   /** The ONE uuid-line parser — renewal, release, and the fenced break
     * must never disagree about a lock file's ownership format.
     */
   private def parseLockUuid(content: String): Option[String] =
     content.split('\n').find(_.startsWith("uuid=")).map(_.stripPrefix("uuid="))
 
+  /** The acquisition uuid stored in the lock file — ownership proof, so a
+    * writer only ever renews/releases ITS OWN lease (never one that an
+    * operator force-broke and another writer re-acquired).
+    */
   private def readLockUuid(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path
@@ -333,19 +339,39 @@ object EncodeJob {
         val stale =
           try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > StaleWriterLockMs
           catch { case _: java.io.FileNotFoundException => true } // holder just released
-        if (stale && seenContent.nonEmpty) {
+        if (stale) {
           // FENCED break: rename the stale file aside instead of deleting
           // it — rename is atomic, so of several contenders exactly one
           // captures the file. But the rename captures whatever the lock
           // IS at that instant, which may no longer be the file the
           // staleness verdict was formed on (another contender can break
-          // and re-CREATE in our check-to-rename window) — so the break
-          // only stands if the captured file IS the judged one (content
-          // identity); a different capture is somebody's live lease and
-          // is renamed straight back.
+          // and re-CREATE, or the judged holder's stalled heartbeat can
+          // revive, in our check-to-rename window). The break stands only
+          // if BOTH hold for the capture:
+          //  - content identity: byte-equal to the judged file (uuid is
+          //    random per lease; an unreadable judged file must capture
+          //    unreadable too). Rename-mechanism-independent.
+          //  - verdict stability: the aside's mtime is still stale
+          //    (rename-mtime-preserving backends: a revival's setTimes
+          //    shows as a FRESH preserved mtime -> undo) OR is the rename
+          //    itself (copy-based-rename backends refresh mtime to now;
+          //    >= our rename start minus clock-skew allowance carries no
+          //    renewal signal, and rejecting it would permanently disable
+          //    self-heal there — a revival landing inside the copy or the
+          //    skew allowance is the residual, accepted window: a holder
+          //    silent for 30 minutes whose revival misses a ~10 s race,
+          //    which the pre-fence break broke unconditionally).
+          // Anything else is somebody's live lease: renamed straight back.
           val aside = new org.apache.hadoop.fs.Path(outDir, s"_writer.lock.stale.$uuid")
+          val renameStart = System.currentTimeMillis()
           val broke = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
-          val keepBreak = broke && readLockFile(fs, aside) == seenContent
+          val keepBreak = broke && readLockFile(fs, aside) == seenContent && {
+            try {
+              val m = fs.getFileStatus(aside).getModificationTime
+              System.currentTimeMillis() - m > StaleWriterLockMs ||
+                m >= renameStart - ClockSkewAllowanceMs
+            } catch { case _: java.io.IOException => false }
+          }
           if (broke && !keepBreak) {
             // we yanked a live lease: restore it. If the slot was already
             // re-taken by a third contender the restore fails — leave the
@@ -362,10 +388,6 @@ object EncodeJob {
             // or it has and our create fails cleanly
             acquired = tryAcquire()
           }
-        } else if (stale) {
-          // judged stale via absence (holder just released) — nothing to
-          // fence; race the slot through create-no-overwrite
-          acquired = tryAcquire()
         }
       }
       if (!acquired) {
@@ -384,10 +406,14 @@ object EncodeJob {
         // sweep aside-files orphaned by a breaker that crashed between its
         // rename and delete (or whose live-lease restore lost the slot) —
         // clutter that would accumulate on a table written for years.
-        // STALENESS-GATED: a seconds-old aside may be a contender's
-        // in-flight capture mid-identity-check — deleting it would turn a
-        // legitimate break into a spurious failure — so only files old
-        // enough that no break can still be in flight are swept.
+        // STALENESS-GATED: the files that must NOT be swept are captures
+        // of a LIVE lease awaiting restore, and those read fresh on every
+        // backend (preserve-rename keeps the heartbeat-renewed mtime;
+        // copy-rename refreshes to now). A stale-mtime aside can only be
+        // a dead writer's record — on preserve-rename backends that
+        // includes a contender's in-flight capture of a STALE lock, whose
+        // deletion is harmless: we hold the lease, so that contender's
+        // acquisition fails (correctly) either way.
         try fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
           .filter(s => s.getPath.getName.startsWith("_writer.lock.stale.") &&
             System.currentTimeMillis() - s.getModificationTime > StaleWriterLockMs)
