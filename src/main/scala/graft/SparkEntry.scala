@@ -892,6 +892,72 @@ object SparkEntry {
       EncodeJob.describe(s, outDir, cfg)
         .select($"n_rows", $"n_partitions", $"chunk_rows",
           $"fragmented_parts", $"pending_swap", $"writer_lease_held")
+    },
+
+    // --- training-data curation, wave 2 (repetition / PII /
+    // decontamination / substring-dedup) — all integer/exact so DuckDB
+    // recomputes every value
+    "q58_repetition" -> { (s, dir) =>
+      val out = TextAnalysis.repetitionStats(s, docsKT(s, dir))
+      require(out.filter(col("is_repetitive")).limit(1).count() == 1,
+        "repetition gate never fires on this corpus — the flag is untested")
+      out
+    },
+    // PII is synthesized in-query (the corpus has none): a deterministic
+    // per-doc email/IP/phone suffix appended on BOTH sides, then detected
+    // and redacted by the shared regex family
+    "q59_pii_redact" -> { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 200).cast("string"), lit("."),
+        (col("doc_id") % 7).cast("string"),
+        lit(".25 call +1-555-0"), (col("doc_id") % 900 + 100).cast("string"))
+      docs(s, dir).select(
+        (col("doc_id") +: TextAnalysis.piiCounts(aug)) :+
+          TextAnalysis.piiRedact(aug).as("redacted"): _*)
+    },
+    // benchmark = every 7th doc (the corpus's duplicated docs straddle
+    // that split, so real contamination fires); training = the rest. The
+    // oracle-checked string form runs in-query; the spec pins
+    // hashGrams=true equal.
+    "q60_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val all = docsKT(s, dir)
+      val out = Dedup.decontaminate(s,
+        trainDocs = all.filter(_._1 % 7 != 0),
+        benchDocs = all.filter(_._1 % 7 == 0))
+      require(out.filter(col("contaminated")).limit(1).count() == 1,
+        "no training doc shares a bench 5-gram — the overlap path is untested")
+      out
+    },
+    "q61_dup_spans" -> { (s, dir) =>
+      val out = Dedup.dupSpanCoverage(s, docsKT(s, dir))
+      require(out.filter(col("dup_windows") > 0).limit(1).count() == 1,
+        "no duplicated k-token span in this corpus — the dup path is untested")
+      out
+    },
+    // wave-2 curation composed end-to-end (the q37 pattern over the new
+    // operators): repetition gate -> substring-dedup gate (drop docs with
+    // >= half their tokens inside corpus-duplicated 8-grams) -> benchmark
+    // decontamination (mod-7 eval split) -> surviving training corpus
+    "q62_curate2" -> { (s, dir) =>
+      import s.implicits._
+      val all = docsKT(s, dir)
+      val rep = TextAnalysis.repetitionStats(s, all)
+        .filter(!col("is_repetitive"))
+        .select(col("doc_id"), col("n_tokens"))
+      val spans = Dedup.dupSpanCoverage(s, all)
+        .select(col("doc_id"), col("dup_tokens"))
+      val decon = Dedup.decontaminate(s,
+          trainDocs = all.filter(_._1 % 7 != 0),
+          benchDocs = all.filter(_._1 % 7 == 0))
+        .filter(!col("contaminated"))
+        .select(col("doc_id"))
+      rep.join(spans, "doc_id")
+        .filter(col("dup_tokens") * 2 < col("n_tokens"))
+        .join(decon, "doc_id") // inner: also drops the bench docs themselves
+        .select(col("doc_id"), col("n_tokens"))
     }
   )
 
@@ -1281,6 +1347,108 @@ object SparkEntry {
     // q38/q39 run the stored-index searches at full probe (exact
     // degeneration), so the brute-force top-k oracle applies verbatim
     "q38_ann_ivf_stored" -> annTopKOracle,
-    "q39_ann_lsh_stored" -> annTopKOracle
+    "q39_ann_lsh_stored" -> annTopKOracle,
+    "q58_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, ws[i] || ' ' || ws[i + 1] AS gram
+        |  FROM (SELECT doc_id, n, ws, unnest(range(1, n)) AS i FROM w WHERE n >= 2)),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+        |       CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+        |       (n - 1 - COUNT(*)) * 10 >= n - 1 AS is_repetitive
+        |FROM c GROUP BY doc_id, n""".stripMargin,
+    "q59_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.25 call +1-555-0' || CAST(doc_id % 900 + 100 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '\+[0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin,
+    "q60_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, n - 3)) AS i FROM w WHERE n >= 5)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS cnt
+        |  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0) t
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(h.cnt, 0) AS BIGINT) AS n_contaminated,
+        |       COALESCE(h.cnt, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q61_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, n - 6)) AS i FROM w WHERE n >= 8)),
+        |dup AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, i FROM p JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT j) AS dup_tokens
+        |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS j FROM dp)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(dw.n, 0) AS BIGINT) AS dup_windows,
+        |       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dp GROUP BY doc_id) dw USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "q62_curate2" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, n, ws[i] || ' ' || ws[i + 1] AS gram
+        |  FROM (SELECT doc_id, n, ws, unnest(range(1, n)) AS i FROM w WHERE n >= 2)),
+        |bgc AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, n, gram),
+        |keep1 AS (
+        |  SELECT doc_id, n FROM bgc GROUP BY doc_id, n
+        |  HAVING NOT ((n - 1 - COUNT(*)) * 10 >= n - 1)),
+        |p AS (
+        |  SELECT doc_id, i, array_to_string(ws[i:i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, n - 6)) AS i FROM w WHERE n >= 8)),
+        |dup AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, i FROM p JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT j) AS dup_tokens
+        |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS j FROM dp)
+        |  GROUP BY doc_id),
+        |keep2 AS (
+        |  SELECT k.doc_id, k.n FROM keep1 k LEFT JOIN cov USING (doc_id)
+        |  WHERE COALESCE(cov.dup_tokens, 0) * 2 < k.n),
+        |g5 AS (
+        |  SELECT doc_id, array_to_string(ws[i:i + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, n - 3)) AS i FROM w WHERE n >= 5)),
+        |bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 7 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS cnt
+        |  FROM (SELECT DISTINCT doc_id, gram FROM g5 WHERE doc_id % 7 <> 0) t
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens
+        |FROM keep2 k LEFT JOIN hits USING (doc_id)
+        |WHERE k.doc_id % 7 <> 0 AND COALESCE(hits.cnt, 0) = 0""".stripMargin
   )
 }

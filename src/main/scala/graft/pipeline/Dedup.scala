@@ -344,4 +344,123 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "jaccard")
   }
+
+  /** Token n-grams of a doc under SQL `string_split` semantics
+    * (`split(" ", -1)` keeps empty tokens), joined back with single
+    * spaces; docs with fewer than n tokens have none.
+    */
+  private def tokenGrams(text: String, n: Int): Iterator[(Int, String)] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Iterator.empty
+    else (0 to ws.length - n).iterator.map(i => (i, ws.slice(i, i + n).mkString(" ")))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one token n-gram with a benchmark (held-out eval) document —
+    * the standard n-gram-overlap decontamination pass a training-data
+    * pipeline runs before any model sees the corpus.
+    *
+    * Returns one row per training doc: (doc_id, n_contaminated,
+    * contaminated) where n_contaminated counts the doc's DISTINCT n-grams
+    * that appear anywhere in the benchmark set.
+    *
+    * 100 TB shape: benchmark sets are small (eval suites, not corpora) —
+    * their distinct grams are collected once, bounded by `maxBenchGrams`
+    * (loud failure, not silent truncation), and broadcast; the training
+    * side is then ONE narrow mapPartitions probing the broadcast hash set
+    * — no explode, no shuffle, no join. `hashGrams = true` stores 64-bit
+    * FNV-1a gram hashes instead of strings in the broadcast (8 bytes/gram
+    * at a negligible collision rate — the form you'd run at scale);
+    * `false` keeps exact strings (the oracle-checked form). A spec test
+    * pins both forms equal on the harness corpus.
+    */
+  def decontaminate(
+      spark: SparkSession,
+      trainDocs: Dataset[(Long, String)],
+      benchDocs: Dataset[(Long, String)],
+      n: Int = 5,
+      maxBenchGrams: Int = 50000000,
+      hashGrams: Boolean = false
+  ): DataFrame = {
+    import spark.implicits._
+    val benchGrams: Array[String] = benchDocs
+      .flatMap { case (_, t) => tokenGrams(t, n).map(_._2) }
+      .distinct()
+      .limit(maxBenchGrams + 1)
+      .collect()
+    require(benchGrams.length <= maxBenchGrams,
+      s"benchmark set exceeds $maxBenchGrams distinct $n-grams; " +
+        "decontaminate expects an eval-suite-sized benchmark side")
+    val bc =
+      if (hashGrams) Left(spark.sparkContext.broadcast(benchGrams.map(fnv1a64).toSet))
+      else Right(spark.sparkContext.broadcast(benchGrams.toSet))
+    trainDocs.mapPartitions { it =>
+      it.map { case (id, t) =>
+        val grams = tokenGrams(t, n).map(_._2).toSet
+        val hits = bc match {
+          case Left(b)  => grams.count(g => b.value.contains(fnv1a64(g)))
+          case Right(b) => grams.count(b.value.contains)
+        }
+        (id, hits.toLong, hits > 0)
+      }
+    }.toDF("doc_id", "n_contaminated", "contaminated")
+  }
+
+  /** Cross-document duplicated-span coverage (the substring-level exact
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a k-token window is DUPLICATED when its
+    * exact token sequence occurs at >= 2 positions corpus-wide (other
+    * docs or elsewhere in the same doc). Per doc this reports
+    * (dup_windows, dup_tokens): the number of duplicated window positions
+    * and the number of token positions covered by at least one duplicated
+    * window — the quantity a span-cutting dedup pass would remove.
+    * Every doc gets a row (zeros when nothing is duplicated or the doc is
+    * shorter than k tokens).
+    *
+    * 100 TB shape: windows are exploded once with 64-bit content hashes
+    * (FNV-1a, never the gram strings) — a narrow flatMap; duplicated
+    * hashes come from one hash-partial-aggregated groupBy (map-side
+    * combine shrinks it to distinct grams); positions rejoin on the gram
+    * hash (sort-merge on the same key, AQE-eligible) and fold to per-doc
+    * interval unions in one final aggregation. Three shuffles total, each
+    * on bounded-width rows of (hash, id, pos) — no document text moves
+    * past the first map.
+    */
+  def dupSpanCoverage(
+      spark: SparkSession,
+      docs: Dataset[(Long, String)],
+      k: Int = 8
+  ): DataFrame = {
+    import spark.implicits._
+    val windows = autoPersist(docs.flatMap { case (id, t) =>
+      tokenGrams(t, k).map { case (i, g) => (fnv1a64(g), id, i) }
+    })
+    val dfw = windows.toDF("gh", "doc_id", "i")
+    val dupHashes = dfw.groupBy($"gh").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"gh")
+    val perDoc = dfw.join(dupHashes, "gh")
+      .select($"doc_id", $"i").as[(Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, rows) =>
+        val starts = rows.map(_._2).toArray
+        java.util.Arrays.sort(starts)
+        var dupTokens = 0L
+        var covEnd = 0 // exclusive end of covered-so-far interval union
+        var j = 0
+        while (j < starts.length) {
+          val s = starts(j)
+          val e = s + k
+          dupTokens += math.max(0, e - math.max(s, covEnd))
+          if (e > covEnd) covEnd = e
+          j += 1
+        }
+        (id, starts.length.toLong, dupTokens)
+      }
+      .toDF("doc_id", "dup_windows", "dup_tokens")
+    docs.map(_._1).toDF("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_windows", lit(0L)).as("dup_windows"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+  }
 }

@@ -99,4 +99,74 @@ object TextAnalysis {
     import spark.implicits._
     docs.map { case (id, t) => (id, fingerprint(t)) }.toDF("doc_id", "fp")
   }
+
+  /** Gopher/MassiveText-style repetition statistics per document, over
+    * token bigrams: total tokens, distinct bigrams, the most frequent
+    * bigram's occurrence count, and an integer-arithmetic repetitiveness
+    * flag (`(n_bigrams - distinct_bigrams) * 10 >= n_bigrams`, i.e. >= 10%
+    * of bigram slots repeat an earlier bigram — the "duplicate n-gram
+    * fraction" filter from the Gopher quality rules, kept float-free so a
+    * SQL oracle reproduces the flag bit-for-bit).
+    *
+    * Tokenization is `split(' ', -1)` — identical to SQL
+    * `string_split(text, ' ')` including empty tokens around consecutive
+    * or trailing spaces, so both sides count the same slots. Documents
+    * with fewer than 2 tokens have no bigrams and are omitted (as the SQL
+    * GROUP BY naturally does).
+    *
+    * 100 TB shape: one narrow map — per-doc hash-map counting, no
+    * explode, no shuffle; output is O(docs).
+    */
+  def repetitionStats(spark: SparkSession, docs: Dataset[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < 2) Iterator.empty
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          var top = 0
+          while (i < ws.length - 1) {
+            val g = ws(i) + " " + ws(i + 1)
+            val c = counts.merge(g, 1, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          val nBigrams = ws.length - 1L
+          Iterator.single((id, ws.length.toLong, counts.size.toLong, top.toLong,
+            (nBigrams - counts.size) * 10L >= nBigrams))
+        }
+      }
+    }.toDF("doc_id", "n_tokens", "distinct_bigrams", "top_bigram_n", "is_repetitive")
+  }
+
+  /** PII patterns chosen from the regex subset where java.util.regex
+    * (Spark codegen) and RE2 (DuckDB) agree exactly: no lookaround, no
+    * backreferences, unambiguous greedy matching.
+    */
+  final val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  final val Ipv4Pattern  = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  final val PhonePattern = "\\+[0-9]+-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** PII detection counts as pure Catalyst columns (codegen'd). */
+  def piiCounts(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+    regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+    regexp_count(text, lit(PhonePattern)).cast("long").as("n_phones"))
+
+  /** PII redaction as a pure Catalyst column: emails first (their domain
+    * part must not be re-matched as an IPv4-looking dotted run), then IPs,
+    * then phone numbers. Replacement order is part of the operator
+    * contract — the SQL twin must chain `regexp_replace` identically.
+    *
+    * 100 TB shape: narrow codegen'd projection; no shuffle, pushdown
+    * unaffected.
+    */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
 }
