@@ -106,6 +106,21 @@ object Bench {
       val pairs = graft.pipeline.Dedup.minHashPairs(s, docs, threshold = 0.3)
       (pairs.count(), 0L)
     },
+    // NEW in round 6: the substring-dedup signal (q61) — the heaviest of
+    // the wave-2 curation ops (explode + 2 aggs + rejoin); bytes = corpus
+    // text, rows = docs carrying a duplicated span
+    "dedup_spans" -> { s =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)]
+      val cov = graft.pipeline.Dedup.dupSpanCoverage(s, docs)
+      val n = cov.filter(org.apache.spark.sql.functions.col("dup_windows") > 0).count()
+      val bytes = s.read.parquet(s"$sfDir/documents.parquet")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text"))))
+        .first().getLong(0)
+      (bytes, n)
+    },
     "ann_brute" -> { s =>
       import s.implicits._
       val vecs = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -299,4 +299,24 @@ SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
 FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
 WHERE bit_count(xor(a.h, b.h)) <= 8"""
   }
+
+  /** SQL twin of `Sampling.stratifiedSample` at q63's configuration
+    * (salt = 1; keep 1/2 of `en`, 1/4 of every other lang): the full
+    * splitmix64 finalizer recomputed in UBIGINT/HUGEINT limb arithmetic
+    * (same mulMod chain the q20/q40 oracles validated token-for-token),
+    * then the sign-masked per-stratum residue test.
+    */
+  val q63StratifiedSample: String = s"""WITH s0 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(CAST(doc_id + 1 AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents),
+s1 AS (SELECT doc_id, lang, ${mulMod(30, "13787848793156543929")} AS z FROM s0),
+s2 AS (SELECT doc_id, lang, ${mulMod(27, "10723151780598845931")} AS z FROM s1),
+m AS (
+  SELECT doc_id, lang,
+    (xor(z, z >> 31) & CAST(9223372036854775807 AS UBIGINT)) AS h,
+    CAST(CASE WHEN lang = 'en' THEN 2 ELSE 4 END AS UBIGINT) AS den
+  FROM s2)
+SELECT doc_id, lang, CAST(h % den AS BIGINT) AS u
+FROM m WHERE h % den < 1"""
 }

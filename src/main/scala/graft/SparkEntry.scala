@@ -958,6 +958,15 @@ object SparkEntry {
         .filter(col("dup_tokens") * 2 < col("n_tokens"))
         .join(decon, "doc_id") // inner: also drops the bench docs themselves
         .select(col("doc_id"), col("n_tokens"))
+    },
+    // deterministic per-stratum sampling (training-mixture knob): keep
+    // 1/2 of en, 1/4 of every other lang, by a pure splitmix64 row draw
+    "q63_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val rows = docs(s, dir).select($"doc_id", $"lang").as[(Long, String)]
+      graft.pipeline.Sampling.stratifiedSample(s, rows,
+          rates = Map("en" -> ((1, 2))), defaultRate = (1, 4), salt = 1L)
+        .withColumnRenamed("stratum", "lang")
     }
   )
 
@@ -1449,6 +1458,7 @@ object SparkEntry {
         |  JOIN bench USING (gram) GROUP BY doc_id)
         |SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens
         |FROM keep2 k LEFT JOIN hits USING (doc_id)
-        |WHERE k.doc_id % 7 <> 0 AND COALESCE(hits.cnt, 0) = 0""".stripMargin
+        |WHERE k.doc_id % 7 <> 0 AND COALESCE(hits.cnt, 0) = 0""".stripMargin,
+    "q63_stratified_sample" -> OracleSql.q63StratifiedSample
   )
 }

@@ -105,6 +105,40 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("benchmark set exceeds"))
   }
 
+  // ------------------------------------------------------------ q63
+
+  test("stratifiedSample: pure row function, partitioning-invariant, delta-resumable") {
+    val rows = (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "xx"))
+    val rates = Map("en" -> ((1, 2)))
+    def expected(subset: Seq[(Long, String)]): Set[(Long, String, Long)] =
+      subset.flatMap { case (id, st) =>
+        val den = if (st == "en") 2 else 4
+        val u = (Dedup.mix(id + 1) & Long.MaxValue) % den
+        if (u < 1) Some((id, st, u)) else None
+      }.toSet
+
+    def run(subset: Seq[(Long, String)], parts: Int) =
+      Sampling.stratifiedSample(spark, docsDs(subset).repartition(parts),
+          rates, defaultRate = (1, 4), salt = 1L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val full = run(rows, 4)
+    assert(full == expected(rows))
+    assert(full.nonEmpty && full.size < rows.size)
+    // partitioning must not change the draw (no per-partition RNG state)
+    assert(run(rows, 1) == full && run(rows, 13) == full)
+    // resumable: sampling a delta keeps exactly the full run's rows
+    val delta = rows.filter(_._1 >= 300)
+    assert(run(delta, 3) == full.filter(_._1 >= 300))
+  }
+
+  test("stratifiedSample: invalid rates fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(spark, docsDs(Seq(1L -> "en")), Map("en" -> ((3, 2))))
+    }
+    assert(e.getMessage.contains("rate"))
+  }
+
   // ------------------------------------------------------------ q61
 
   test("dupSpanCoverage: cross-doc, within-doc, and overlapping windows union correctly") {
