@@ -355,6 +355,35 @@ object Dedup {
     else (0 to ws.length - n).iterator.map(i => (i, ws.slice(i, i + n).mkString(" ")))
   }
 
+  /** 64-bit content hashes of every k-token window, O(tokens) per doc:
+    * each token FNV-hashed once, windows combined by a rolling polynomial
+    * over the token hashes (wrapping 2^64 arithmetic), finalized with
+    * splitmix64 for bucket diffusion. Equal windows ⟺ equal hashes up to
+    * the usual 2^-64-scale collision rate; avoids materializing any gram
+    * string (the allocation cost that dominates the naive form).
+    */
+  private[pipeline] def windowHashes(text: String, k: Int): Array[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < k) return Array.empty[Long]
+    val th = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { th(i) = fnv1a64(ws(i)); i += 1 }
+    val B = 0x100000001B3L
+    var bk = 1L
+    i = 0
+    while (i < k) { bk *= B; i += 1 } // B^k
+    val out = new Array[Long](ws.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < ws.length) {
+      h = h * B + th(i)
+      if (i >= k) h -= th(i - k) * bk
+      if (i >= k - 1) out(i - k + 1) = mix(h)
+      i += 1
+    }
+    out
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one token n-gram with a benchmark (held-out eval) document —
     * the standard n-gram-overlap decontamination pass a training-data
@@ -369,8 +398,9 @@ object Dedup {
     * (loud failure, not silent truncation), and broadcast; the training
     * side is then ONE narrow mapPartitions probing the broadcast hash set
     * — no explode, no shuffle, no join. `hashGrams = true` stores 64-bit
-    * FNV-1a gram hashes instead of strings in the broadcast (8 bytes/gram
-    * at a negligible collision rate — the form you'd run at scale);
+    * rolling window hashes instead of strings in the broadcast (8
+    * bytes/gram at a negligible collision rate, and the per-doc probe
+    * never materializes a gram string — the form you'd run at scale);
     * `false` keeps exact strings (the oracle-checked form). A spec test
     * pins both forms equal on the harness corpus.
     */
@@ -383,27 +413,40 @@ object Dedup {
       hashGrams: Boolean = false
   ): DataFrame = {
     import spark.implicits._
-    val benchGrams: Array[String] = benchDocs
-      .flatMap { case (_, t) => tokenGrams(t, n).map(_._2) }
-      .distinct()
-      .limit(maxBenchGrams + 1)
-      .collect()
-    require(benchGrams.length <= maxBenchGrams,
-      s"benchmark set exceeds $maxBenchGrams distinct $n-grams; " +
-        "decontaminate expects an eval-suite-sized benchmark side")
-    val bc =
-      if (hashGrams) Left(spark.sparkContext.broadcast(benchGrams.map(fnv1a64).toSet))
-      else Right(spark.sparkContext.broadcast(benchGrams.toSet))
-    trainDocs.mapPartitions { it =>
-      it.map { case (id, t) =>
-        val grams = tokenGrams(t, n).map(_._2).toSet
-        val hits = bc match {
-          case Left(b)  => grams.count(g => b.value.contains(fnv1a64(g)))
-          case Right(b) => grams.count(b.value.contains)
+    def bounded[T](a: Array[T]): Array[T] = {
+      require(a.length <= maxBenchGrams,
+        s"benchmark set exceeds $maxBenchGrams distinct $n-grams; " +
+          "decontaminate expects an eval-suite-sized benchmark side")
+      a
+    }
+    if (hashGrams) {
+      val bc = spark.sparkContext.broadcast(bounded(benchDocs
+        .flatMap { case (_, t) => windowHashes(t, n) }
+        .distinct().limit(maxBenchGrams + 1).collect()).toSet)
+      trainDocs.mapPartitions { it =>
+        it.map { case (id, t) =>
+          val hs = windowHashes(t, n)
+          val seen = new java.util.HashSet[Long]()
+          var hits = 0
+          var i = 0
+          while (i < hs.length) {
+            if (bc.value.contains(hs(i)) && seen.add(hs(i))) hits += 1
+            i += 1
+          }
+          (id, hits.toLong, hits > 0)
         }
-        (id, hits.toLong, hits > 0)
-      }
-    }.toDF("doc_id", "n_contaminated", "contaminated")
+      }.toDF("doc_id", "n_contaminated", "contaminated")
+    } else {
+      val bc = spark.sparkContext.broadcast(bounded(benchDocs
+        .flatMap { case (_, t) => tokenGrams(t, n).map(_._2) }
+        .distinct().limit(maxBenchGrams + 1).collect()).toSet)
+      trainDocs.mapPartitions { it =>
+        it.map { case (id, t) =>
+          val hits = tokenGrams(t, n).map(_._2).toSet.count(bc.value.contains)
+          (id, hits.toLong, hits > 0)
+        }
+      }.toDF("doc_id", "n_contaminated", "contaminated")
+    }
   }
 
   /** Cross-document duplicated-span coverage (the substring-level exact
@@ -417,14 +460,20 @@ object Dedup {
     * Every doc gets a row (zeros when nothing is duplicated or the doc is
     * shorter than k tokens).
     *
-    * 100 TB shape: windows are exploded once with 64-bit content hashes
-    * (FNV-1a, never the gram strings) — a narrow flatMap; duplicated
-    * hashes come from one hash-partial-aggregated groupBy (map-side
-    * combine shrinks it to distinct grams); positions rejoin on the gram
-    * hash (sort-merge on the same key, AQE-eligible) and fold to per-doc
-    * interval unions in one final aggregation. Three shuffles total, each
-    * on bounded-width rows of (hash, id, pos) — no document text moves
-    * past the first map.
+    * 100 TB shape: windows are exploded as 64-bit rolling content hashes
+    * (O(tokens) per doc, no gram string ever built) — a narrow flatMap,
+    * deliberately NOT cached: at corpus scale the window set dwarfs any
+    * cache tier, so both consumers recompute the cheap map instead;
+    * duplicated-window positions fall out of ONE exchange on the hash:
+    * `groupByKey(gh).flatMapGroups` streams each hash group (Spark's
+    * spillable sort-based grouping) and a group re-emits its rows exactly
+    * when a second row exists — no count-aggregate + rejoin (which would
+    * shuffle the window set twice and sort both join sides), no
+    * collect_list buffer (a boilerplate gram repeated 10^9 times streams
+    * through; nothing materializes a group). The per-doc interval-union
+    * fold is the second and final exchange. Two shuffles total on
+    * bounded-width (hash, id, pos) rows — no document text moves past the
+    * first map.
     */
   def dupSpanCoverage(
       spark: SparkSession,
@@ -432,14 +481,16 @@ object Dedup {
       k: Int = 8
   ): DataFrame = {
     import spark.implicits._
-    val windows = autoPersist(docs.flatMap { case (id, t) =>
-      tokenGrams(t, k).map { case (i, g) => (fnv1a64(g), id, i) }
-    })
-    val dfw = windows.toDF("gh", "doc_id", "i")
-    val dupHashes = dfw.groupBy($"gh").agg(count(lit(1)).as("n"))
-      .filter($"n" >= 2).select($"gh")
-    val perDoc = dfw.join(dupHashes, "gh")
-      .select($"doc_id", $"i").as[(Long, Int)]
+    val windows = docs.flatMap { case (id, t) =>
+      val hs = windowHashes(t, k)
+      Iterator.range(0, hs.length).map(i => (hs(i), id, i))
+    }
+    val perDoc = windows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val first = it.next()
+        if (!it.hasNext) Iterator.empty
+        else (Iterator.single(first) ++ it).map(w => (w._2, w._3))
+      }
       .groupByKey(_._1)
       .mapGroups { (id, rows) =>
         val starts = rows.map(_._2).toArray
