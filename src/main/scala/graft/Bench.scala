@@ -208,7 +208,7 @@ object Bench {
     * itself in the recorded JSON instead of costing a round of
     * adjudication.
     */
-  private def loadavg(): Double =
+  private[graft] def loadavg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 

@@ -349,10 +349,10 @@ object Dedup {
     * (`split(" ", -1)` keeps empty tokens), joined back with single
     * spaces; docs with fewer than n tokens have none.
     */
-  private def tokenGrams(text: String, n: Int): Iterator[(Int, String)] = {
+  private def tokenGrams(text: String, n: Int): Iterator[String] = {
     val ws = text.split(" ", -1)
     if (ws.length < n) Iterator.empty
-    else (0 to ws.length - n).iterator.map(i => (i, ws.slice(i, i + n).mkString(" ")))
+    else (0 to ws.length - n).iterator.map(i => ws.slice(i, i + n).mkString(" "))
   }
 
   /** 64-bit content hashes of every k-token window, O(tokens) per doc:
@@ -420,9 +420,14 @@ object Dedup {
       a
     }
     if (hashGrams) {
-      val bc = spark.sparkContext.broadcast(bounded(benchDocs
+      // sorted primitive array + binarySearch, NOT a Set[Long]: boxed set
+      // nodes cost ~50 bytes/gram where the array costs the promised 8,
+      // and the per-window probe loop never boxes
+      val arr = bounded(benchDocs
         .flatMap { case (_, t) => windowHashes(t, n) }
-        .distinct().limit(maxBenchGrams + 1).collect()).toSet)
+        .distinct().limit(maxBenchGrams + 1).collect())
+      java.util.Arrays.sort(arr)
+      val bc = spark.sparkContext.broadcast(arr)
       trainDocs.mapPartitions { it =>
         it.map { case (id, t) =>
           val hs = windowHashes(t, n)
@@ -430,7 +435,8 @@ object Dedup {
           var hits = 0
           var i = 0
           while (i < hs.length) {
-            if (bc.value.contains(hs(i)) && seen.add(hs(i))) hits += 1
+            if (java.util.Arrays.binarySearch(bc.value, hs(i)) >= 0 && seen.add(hs(i)))
+              hits += 1
             i += 1
           }
           (id, hits.toLong, hits > 0)
@@ -438,11 +444,11 @@ object Dedup {
       }.toDF("doc_id", "n_contaminated", "contaminated")
     } else {
       val bc = spark.sparkContext.broadcast(bounded(benchDocs
-        .flatMap { case (_, t) => tokenGrams(t, n).map(_._2) }
+        .flatMap { case (_, t) => tokenGrams(t, n) }
         .distinct().limit(maxBenchGrams + 1).collect()).toSet)
       trainDocs.mapPartitions { it =>
         it.map { case (id, t) =>
-          val hits = tokenGrams(t, n).map(_._2).toSet.count(bc.value.contains)
+          val hits = tokenGrams(t, n).toSet.count(bc.value.contains)
           (id, hits.toLong, hits > 0)
         }
       }.toDF("doc_id", "n_contaminated", "contaminated")

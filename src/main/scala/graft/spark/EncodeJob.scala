@@ -224,7 +224,10 @@ object EncodeJob {
 
   /** Raw lock-file content, retried through transient FS hiccups (a DN
     * blip on release must not strand a healthy table behind a 30-minute
-    * staleness wait). None = missing or unreadable after retries.
+    * staleness wait). None = missing or unreadable after retries. Opens
+    * FIRST and reads to EOF — a stat-then-open pair could race a
+    * break+re-create and hand back a silently truncated prefix of the new
+    * holder's file, which parses as a uuid that matches nobody.
     */
   private def readLockFile(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -233,11 +236,14 @@ object EncodeJob {
     var attempt = 0
     while (true) {
       try {
-        val st = fs.getFileStatus(lock)
-        val buf = new Array[Byte](st.getLen.toInt)
         val in = fs.open(lock)
-        try in.readFully(0, buf) finally in.close()
-        return Some(new String(buf, UTF_8))
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          return Some(new String(bos.toByteArray, UTF_8))
+        } finally in.close()
       } catch {
         case _: java.io.FileNotFoundException => return None
         case _: java.io.IOException if attempt < 2 =>
@@ -316,7 +322,7 @@ object EncodeJob {
     // JVM out of the table forever (the 30-min staleness self-heal never
     // runs because the in-JVM gate throws before the FS path is reached)
     try {
-      def tryAcquire(): Boolean =
+      def tryAcquire(attempt: Int = 0): Boolean =
         try {
           fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
           val out = fs.create(lock, false) // fails if the file exists
@@ -326,7 +332,18 @@ object EncodeJob {
           // read-back closes the stale-break race: if another contender
           // replaced the file between our create and here, back off
           // (without deleting THEIR lock)
-          readLockUuid(fs, lock).contains(uuid)
+          readLockUuid(fs, lock) match {
+            case Some(u) => u == uuid
+            case None =>
+              // our freshly-created file is unreadable after retries (a
+              // transient FS failure — nothing can LEGITIMATELY break a
+              // lease this young): a file with no reachable holder and no
+              // heartbeat would lock the table for the full staleness
+              // window, so remove it and retry the acquisition once
+              // instead of stranding it
+              try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+              attempt == 0 && tryAcquire(attempt + 1)
+          }
         } catch { case _: java.io.IOException => false }
       var acquired = tryAcquire()
       if (!acquired) {
@@ -708,25 +725,38 @@ object EncodeJob {
   }
 
   /** Home partitions that ACTUALLY contain at least one of `distinctUrls`.
-    * The chunk url ranges alone over-approximate (a range can straddle an
-    * absent url), so the urls of range-covering chunks are decoded — the
-    * url payload leaf only, exactly append's dedupe scan — making
-    * delete-of-absent a true no-op (routine for redelivered takedown
-    * batches: re-running a delete must not rewrite anything). The
-    * home-partition constraint applies only when the STORED meta is
-    * available — computing it from the caller's cfg on a pre-meta table
-    * could map a url to the wrong partition and silently skip it. With
-    * meta, the home part ids are known driver-side, so the scan itself is
-    * partition-pruned to the home dirs (the join condition alone would
-    * not push down as a PartitionFilter). Shared by [[delete]] and
-    * [[upsert]].
-    */
+    * Convenience wrapper over [[presentHomePairs]]. */
   private def presentHomeParts(
       spark: SparkSession,
       outDir: String,
       distinctUrls: Seq[String],
       meta: Option[EncodeMeta]
-  ): Seq[Int] = {
+  ): Seq[Int] =
+    presentHomePairs(spark, outDir, distinctUrls, meta).map(_._1).distinct.sorted
+
+  /** The (partition, url) pairs for every url in `distinctUrls` that is
+    * ACTUALLY stored — i.e. where each url lives right now. The chunk url
+    * ranges alone over-approximate (a range can straddle an absent url),
+    * so the urls of range-covering chunks are decoded — the url payload
+    * leaf only, exactly append's dedupe scan — making delete-of-absent a
+    * true no-op (routine for redelivered takedown batches: re-running a
+    * delete must not rewrite anything). The home-partition constraint
+    * applies only when the STORED meta is available — computing it from
+    * the caller's cfg on a pre-meta table could map a url to the wrong
+    * partition and silently skip it. With meta, the home part ids are
+    * known driver-side, so the scan itself is partition-pruned to the
+    * home dirs (the join condition alone would not push down as a
+    * PartitionFilter). Shared by [[delete]] and [[upsert]] (which homes
+    * replacement rows at the STORED location, so per-url atomicity holds
+    * even on a pre-meta table whose layout disagrees with the caller's
+    * cfg). Driver-side result, bounded by the callers' url caps.
+    */
+  private def presentHomePairs(
+      spark: SparkSession,
+      outDir: String,
+      distinctUrls: Seq[String],
+      meta: Option[EncodeMeta]
+  ): Seq[(Int, String)] = {
     import spark.implicits._
     val (targets, homePids) = meta match {
       case Some(m) =>
@@ -757,7 +787,7 @@ object EncodeJob {
     stored.join(targets,
         stored("url") === $"d_url" && ($"d_part".isNull || stored("part_id") === $"d_part"),
         "left_semi")
-      .select($"part_id").distinct().as[Int].collect().toSeq.sorted
+      .select($"part_id", $"url").distinct().as[(Int, String)].collect().toSeq.sorted
   }
 
   /** Distinct-url ceiling for one [[upsert]] call. Above [[MaxDeleteUrls]]
@@ -871,17 +901,30 @@ object EncodeJob {
       s"internal: upsert group exceeded $MaxDeleteUrls urls (${urls.size})")
     if (urls.isEmpty) return spark.emptyDataset[LineageRecord]
     val effCfg = meta.map(m => cfg.copy(chunkRows = m.chunkRows)).getOrElse(cfg)
-    val affected = presentHomeParts(spark, outDir, urls, meta)
+    val pairs = presentHomePairs(spark, outDir, urls, meta)
     // no url stored anywhere: the whole delta is a pure insert
-    if (affected.isEmpty) return append(spark, deduped, outDir, cfg)
+    if (pairs.isEmpty) return append(spark, deduped, outDir, cfg)
+    val affected = pairs.map(_._1).distinct.sorted
+    // each stored url's replacement row is homed at its STORED partition
+    // (on a meta table that IS partIdCol's home; on a pre-meta table whose
+    // layout disagrees with cfg it is the only location that keeps the
+    // per-url old-or-new guarantee — the swap that removes the old copy
+    // must be the commit that introduces the new one). A url stored in
+    // several partitions (foreign-layout appends) is replaced at the
+    // lowest and dropped from the rest.
+    val storedHome: Map[String, Int] =
+      pairs.groupBy(_._2).map { case (u, ps) => (u, ps.map(_._1).min) }
+    val bcHome = spark.sparkContext.broadcast(storedHome)
 
-    // --- phase 1: encode the delta rows homed in the affected partitions
-    // into a TEMP chunk table, ids tagged past UpsertDeltaChunkBase so
-    // the rewrite below can tell replacement rows from stored ones
+    // --- phase 1: encode the delta rows that replace stored urls into a
+    // TEMP chunk table, ids tagged past UpsertDeltaChunkBase so the
+    // rewrite below can tell replacement rows from stored ones
     val fs = chunksFs(spark, outDir)
-    val withPart = deduped.withColumn("part_id", partIdCol(effCfg))
-    val inAffected = withPart.filter($"part_id".isin(affected: _*))
-      .select("url", "warc_ts", "html", "text", "lang", "part_id")
+    val inAffected = deduped
+      .flatMap { p =>
+        bcHome.value.get(p.url).map(pid => (p.url, p.warc_ts, p.html, p.text, p.lang, pid))
+      }
+      .toDF("url", "warc_ts", "html", "text", "lang", "part_id")
     val deltaTmp = chunksPath(outDir) + "_upsert_delta_tmp"
     val deltaTmpPath = new org.apache.hadoop.fs.Path(deltaTmp)
     if (fs.exists(deltaTmpPath)) fs.delete(deltaTmpPath, true) // stale crash junk
@@ -904,10 +947,11 @@ object EncodeJob {
     writeChunks(rewritten.toDF(), compactTmpPath(outDir), SaveMode.Overwrite)
     upsertPhaseHook("staged")
 
-    // every affected part has staged content (each holds >= 1 replaced
-    // url, whose delta row is homed right there), so no action can be a
-    // drop; computed from the staging dir anyway so the marker records
-    // what is actually on disk
+    // every affected part normally has staged content (each holds >= 1
+    // replaced url, whose delta row is homed right there); the one
+    // exception is a foreign-layout duplicate partition whose every row
+    // was a dropped copy — recorded as a drop. Computed from the staging
+    // dir so the marker records what is actually on disk.
     val actions = affected.map { pid =>
       (pid, !fs.exists(new org.apache.hadoop.fs.Path(compactTmpPath(outDir), s"part_id=$pid")))
     }
@@ -920,10 +964,9 @@ object EncodeJob {
     // upsert's stale-junk delete above
     if (fs.exists(deltaTmpPath)) fs.delete(deltaTmpPath, true)
 
-    // --- phase 3: delta rows homed in UNaffected partitions are brand-new
-    // urls there — plain incremental append (absent -> present per url)
-    val rest = withPart.filter(!$"part_id".isin(affected: _*))
-      .select("url", "warc_ts", "html", "text", "lang").as[Page]
+    // --- phase 3: delta rows whose urls are stored NOWHERE are brand-new
+    // — plain incremental append (absent -> present per url)
+    val rest = deduped.filter(p => !bcHome.value.contains(p.url))
     val restRecords =
       if (rest.isEmpty) Seq.empty
       else append(spark, rest, outDir, cfg).collect().toSeq

@@ -39,8 +39,7 @@ object CurationScaleProbe {
       var load = 99.0
       while (load > 3.5 && System.nanoTime() < deadline) {
         Thread.sleep(5000)
-        load = try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-               catch { case _: Throwable => 0.0 }
+        load = graft.Bench.loadavg()
       }
       println(f"CURPROBE settle loadavg=$load%.2f")
     }

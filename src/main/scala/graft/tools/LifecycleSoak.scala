@@ -28,6 +28,7 @@ object LifecycleSoak {
     import spark.implicits._
     val pagesPath = s"/dev/shm/graft_bench/soak_pages_$nPages.parquet"
     val out = "/dev/shm/graft_bench/lifecycle_out"
+    var failed = false
     val cfg = EncodeConfig(numPartitions = 512, saltFactor = 16)
     val wipedPid = 7
 
@@ -138,11 +139,15 @@ object LifecycleSoak {
         s"gates=${gates.map { case (k, v) => s"$k=$v" }.mkString(",")}")
       if (gates.exists(!_._2)) {
         System.err.println(s"LIFECYCLE GATE FAILED: ${gates.filter(!_._2).map(_._1)}; $report")
-        sys.exit(1)
+        // record the failure but FALL THROUGH to the finally: sys.exit
+        // here would skip the cleanup and leave the multi-GB soak table
+        // in RAM-backed /dev/shm until a reboot
+        failed = true
       }
     } finally {
       Bench.deleteDir(out)
       spark.stop()
     }
+    if (failed) sys.exit(1)
   }
 }

@@ -1125,6 +1125,40 @@ class SparkJobsSpec extends AnyFunSuite {
     } finally EncodeJob.maxUpsertUrlsForTest = None
   }
 
+  test("upsert on a pre-meta foreign-layout table homes replacements at the STORED partition (never absent mid-commit)") {
+    import spark.implicits._
+    val out = tmpDir("upsert_premeta")
+    val writeCfg = EncodeConfig(numPartitions = 4, chunkRows = 16)
+    val all = PagesGen.generate(spark, 80, partitions = 4).collect()
+    EncodeJob.run(spark, spark.createDataset(all.toIndexedSeq), out, writeCfg)
+    // legacy table: stored meta lost, so home partitions are unknowable
+    // from any cfg — only the stored location is authoritative
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.metaPath(out)), true)
+    // the caller's cfg computes DIFFERENT homes for most urls: before the
+    // fix, a url whose cfg-home fell outside the stored-home set was
+    // swapped away in phase 2 and only re-appended in phase 3 — a reader
+    // (or crash) between the two saw it absent
+    val callCfg = EncodeConfig(numPartitions = 7, chunkRows = 16)
+    val refreshed = all.take(10).map(p => p.copy(
+      warc_ts = java.sql.Timestamp.from(p.warc_ts.toInstant.plusSeconds(60)),
+      text = "pm2 " + p.text))
+    val seen = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    EncodeJob.upsertPhaseHook = {
+      case ph @ "swapped" =>
+        seen(ph) = DecodeJob.lookupUrls(spark, out, refreshed.map(_.url).toSeq)
+          .collect().map(p => p.url -> p.text).toMap
+      case _ => ()
+    }
+    try EncodeJob.upsert(spark, spark.createDataset(refreshed.toIndexedSeq), out, callCfg)
+    finally EncodeJob.upsertPhaseHook = _ => ()
+    assert(seen("swapped") == refreshed.map(p => p.url -> p.text).toMap,
+      "every stored url must be PRESENT (new version) the moment the swap commits")
+    val after = DecodeJob.run(spark, out).collect().map(p => p.url -> p.text).toMap
+    assert(after.size == 80)
+    refreshed.foreach(r => assert(after(r.url) == r.text))
+  }
+
   test("a truncated swap marker is pre-commit junk, not a wedge") {
     val out = tmpDir("marker_trunc")
     val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
