@@ -93,6 +93,17 @@ object StreamingEncodeJob {
     * write-ahead swap keeps crash-redelivery safe: a batch re-delivered
     * over a mid-compaction crash first rolls the swap forward (append's
     * entry point does this), then dedupes as usual.
+    *
+    * `curate` filters/transforms each micro-batch BEFORE it reaches the
+    * table — the hook where the curation operators
+    * ([[graft.pipeline.Sampling.stratifiedSample]], quality gates,
+    * [[graft.pipeline.Dedup.decontaminate]] against a broadcast benchmark
+    * set, PII redaction) compose into the ingest path. It must be
+    * DETERMINISTIC per row (a pure function of row content, like the
+    * operators above): redelivered batches then re-curate identically and
+    * exactly-once-by-idempotence is preserved. Stateless per batch by
+    * design — cross-batch state belongs to the table itself (append's
+    * dedupe, upsert's newest-wins), not the hook.
     */
   def startAppending(
       pages: Dataset[Page],
@@ -103,15 +114,17 @@ object StreamingEncodeJob {
       onBatchStart: Long => Unit = _ => (),
       compactEveryBatches: Option[Int] = None,
       compactSlackChunks: Int = 2,
-      newestWins: Boolean = false
+      newestWins: Boolean = false,
+      curate: Dataset[Page] => Dataset[Page] = identity
   ): StreamingQuery = {
     require(pages.isStreaming, "StreamingEncodeJob.startAppending needs a streaming Dataset[Page]")
     compactEveryBatches.foreach(n => require(n > 0, s"compactEveryBatches must be > 0: $n"))
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+      .foreachBatch { (rawBatch: Dataset[Page], batchId: Long) =>
         onBatchStart(batchId)
+        val batch = curate(rawBatch)
         val spark = batch.sparkSession
         if (newestWins) EncodeJob.upsert(spark, batch, tableDir, cfg)
         else EncodeJob.append(spark, batch, tableDir, cfg)

@@ -100,6 +100,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.text == pages(55).text)
   }
 
+  test("startAppending(curate): per-batch curation gates + redaction land curated rows only, idempotently") {
+    val pages = (0 until 80).map(i => PagesGen.page(71L, i.toLong, 80, hostSkew = false)
+      .copy(text = s"p$i contact user$i@mail.example.com tail"))
+    val staging = tmp("cur_stage")
+    val table = tmp("cur_table")
+    val ckpt = tmp("cur_ckpt")
+    val cfg = EncodeConfig(numPartitions = 2, chunkRows = 16)
+    // second slice redelivers 10 urls of the first: the curate hook must
+    // re-produce identical rows for them so append's dedupe drops them
+    Seq(0 until 45, 35 until 80).foreach { r =>
+      spark.createDataset(r.map(i => pages(i)))
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+    // deterministic pure-row curation: a stratified-sample-style keep rule
+    // on the url hash + PII redaction of the text column
+    def keep(p: Page): Boolean = (p.url.hashCode & 3) != 0
+    val curate: org.apache.spark.sql.Dataset[Page] => org.apache.spark.sql.Dataset[Page] =
+      b => b.filter(keep _).withColumn("text",
+        graft.pipeline.TextAnalysis.piiRedact(col("text"))).as[Page]
+
+    // kill before batch 1, resume: redelivered batches re-curate identically
+    val q1 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      onBatchStart = id => if (id == 1) sys.error("injected crash before batch 1"),
+      curate = curate)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination())
+    val q2 = StreamingEncodeJob.startAppending(
+      StreamingEncodeJob.pagesFileStream(spark, staging), table, ckpt, cfg,
+      curate = curate)
+    q2.awaitTermination()
+
+    val expected = pages.filter(keep).map(p =>
+      p.url -> p.text.replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")).toMap
+    assert(expected.nonEmpty && expected.size < pages.size,
+      "fixture must actually gate some rows and keep others")
+    val decoded = graft.spark.DecodeJob.run(spark, table).collect()
+    assert(decoded.length == expected.size, "exactly the curated rows, exactly once")
+    decoded.foreach { d =>
+      assert(expected(d.url) == d.text, s"${d.url}: expected redacted text")
+      assert(d.text.contains("<EMAIL>") && !d.text.contains("@mail.example.com"))
+    }
+  }
+
   test("startAppending with in-stream compaction: fragmentation stays bounded, lookups stay green") {
     val pages = (0 until 120).map(i => PagesGen.page(37L, i.toLong, 120, hostSkew = false))
     val staging = tmp("cmp_stage")
