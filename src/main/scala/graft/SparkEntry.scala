@@ -105,6 +105,27 @@ object SparkEntry {
     if (f.exists()) rec(f)
   }
 
+  /** Shared q61/q64 oracle: per-doc duplicated 8-token-window stats. */
+  private val dupSpansOracle =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, i, array_to_string(ws[i:i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, ws, unnest(range(1, n - 6)) AS i FROM w WHERE n >= 8)),
+      |dup AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) >= 2),
+      |dp AS (SELECT doc_id, i FROM p JOIN dup USING (gram)),
+      |cov AS (
+      |  SELECT doc_id, COUNT(DISTINCT j) AS dup_tokens
+      |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS j FROM dp)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(dw.n, 0) AS BIGINT) AS dup_windows,
+      |       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+      |FROM documents d
+      |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dp GROUP BY doc_id) dw USING (doc_id)
+      |LEFT JOIN cov USING (doc_id)""".stripMargin
+
   // -------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -959,6 +980,22 @@ object SparkEntry {
         .join(decon, "doc_id") // inner: also drops the bench docs themselves
         .select(col("doc_id"), col("n_tokens"))
     },
+    // the store FEEDS the curation ops: substring-dedup coverage computed
+    // over the ENCODED table's projected decode (text leaf only — html
+    // never scanned), not the raw parquet. Same oracle as q61: the
+    // encode -> pruned-decode -> dup-span composition must be value-exact.
+    "q64_store_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/root/repo/target/storecur_${math.abs(dir.hashCode)}"
+      deleteDir(outDir)
+      EncodeJob.run(s, pagesFromDocs(s, dir), outDir,
+        EncodeConfig(numPartitions = 8, chunkRows = 64))
+      val stored = DecodeJob.decodeProjected(s, outDir, Seq("text"))
+        .select($"url", $"text").as[(String, String)]
+        .map { case (url, text) => (hashDocId(url), text) }
+      Dedup.dupSpanCoverage(s, stored)
+    },
+
     // deterministic per-stratum sampling (training-mixture knob): keep
     // 1/2 of en, 1/4 of every other lang, by a pure splitmix64 row draw
     "q63_stratified_sample" -> { (s, dir) =>
@@ -1406,25 +1443,10 @@ object SparkEntry {
         |       COALESCE(h.cnt, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
-    "q61_dup_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, i, array_to_string(ws[i:i + 7], ' ') AS gram
-        |  FROM (SELECT doc_id, ws, unnest(range(1, n - 6)) AS i FROM w WHERE n >= 8)),
-        |dup AS (SELECT gram FROM p GROUP BY gram HAVING COUNT(*) >= 2),
-        |dp AS (SELECT doc_id, i FROM p JOIN dup USING (gram)),
-        |cov AS (
-        |  SELECT doc_id, COUNT(DISTINCT j) AS dup_tokens
-        |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS j FROM dp)
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(dw.n, 0) AS BIGINT) AS dup_windows,
-        |       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
-        |FROM documents d
-        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dp GROUP BY doc_id) dw USING (doc_id)
-        |LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "q61_dup_spans" -> dupSpansOracle,
+    // q64 composes encode -> projected decode -> dup-span coverage; the
+    // decode is bit-identical, so the q61 oracle applies verbatim
+    "q64_store_dup_spans" -> dupSpansOracle,
     "q62_curate2" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
