@@ -105,6 +105,43 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("benchmark set exceeds"))
   }
 
+  // ------------------------------------------------ rolling window hashes
+
+  test("windowHashes: rolling hashes agree with equality of the materialized grams (seeded random corpus)") {
+    val rnd = new scala.util.Random(20260817L)
+    // small vocab + mutated repeats force genuine cross-doc window collisions
+    def doc(): String = (0 until (5 + rnd.nextInt(40)))
+      .map(_ => s"t${rnd.nextInt(12)}").mkString(" ")
+    val base = (0 until 60).map(_ => doc())
+    // cloned docs guarantee exact repeated windows at EVERY k (the random
+    // vocab alone has none at k=8: 12^8 distinct grams)
+    val texts = base ++ base.take(12) ++ Seq("", "one", "a b", "x  y  z", "a b c d e f g h")
+    for (k <- Seq(2, 5, 8)) {
+      val byGram = scala.collection.mutable.Map.empty[String, Long]
+      var windows = 0L
+      texts.foreach { t =>
+        val ws = t.split(" ", -1)
+        val hs = Dedup.windowHashes(t, k)
+        val expected = math.max(0, ws.length - k + 1)
+        assert(hs.length == expected, s"k=$k '$t': ${hs.length} windows, expected $expected")
+        hs.zipWithIndex.foreach { case (h, i) =>
+          val gram = ws.slice(i, i + k).mkString(" ")
+          byGram.get(gram) match {
+            case Some(prev) => assert(prev == h, s"equal grams must hash equal: '$gram'")
+            case None       => byGram(gram) = h
+          }
+          windows += 1
+        }
+      }
+      // injectivity on this corpus: distinct grams -> distinct hashes
+      // (a collision here would silently inflate dup-span coverage)
+      assert(byGram.values.toSeq.distinct.size == byGram.size,
+        s"k=$k: hash collision between distinct grams")
+      assert(windows > 500 && byGram.size < windows,
+        s"k=$k fixture must contain real repeats (windows=$windows distinct=${byGram.size})")
+    }
+  }
+
   // ------------------------------------------------------------ q63
 
   test("stratifiedSample: pure row function, partitioning-invariant, delta-resumable") {
