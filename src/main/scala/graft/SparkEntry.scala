@@ -996,6 +996,28 @@ object SparkEntry {
       Dedup.dupSpanCoverage(s, stored)
     },
 
+    // the q63 draw as pure SQL via the codegen'd graft_sample_residue
+    // expression — same rates, same salt, same oracle; the require pins
+    // that the SQL surface agrees with the Scala operator row-for-row
+    "q65_sql_sample" -> { (s, dir) =>
+      import s.implicits._
+      graft.sql.GraftFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents")
+      val out = s.sql(
+        """SELECT doc_id, lang,
+          |       graft_sample_residue(doc_id, 1L, CASE WHEN lang = 'en' THEN 2L ELSE 4L END) AS u
+          |FROM documents
+          |WHERE graft_sample_residue(doc_id, 1L, CASE WHEN lang = 'en' THEN 2L ELSE 4L END) < 1
+          |""".stripMargin)
+      val scalaForm = graft.pipeline.Sampling.stratifiedSample(s,
+          docs(s, dir).select($"doc_id", $"lang").as[(Long, String)],
+          rates = Map("en" -> ((1, 2))), defaultRate = (1, 4), salt = 1L)
+        .withColumnRenamed("stratum", "lang")
+      require(out.exceptAll(scalaForm).isEmpty && scalaForm.exceptAll(out).isEmpty,
+        "SQL sampling surface must agree with Sampling.stratifiedSample exactly")
+      out
+    },
+
     // deterministic per-stratum sampling (training-mixture knob): keep
     // 1/2 of en, 1/4 of every other lang, by a pure splitmix64 row draw
     "q63_stratified_sample" -> { (s, dir) =>
@@ -1481,6 +1503,7 @@ object SparkEntry {
         |SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens
         |FROM keep2 k LEFT JOIN hits USING (doc_id)
         |WHERE k.doc_id % 7 <> 0 AND COALESCE(hits.cnt, 0) = 0""".stripMargin,
-    "q63_stratified_sample" -> OracleSql.q63StratifiedSample
+    "q63_stratified_sample" -> OracleSql.q63StratifiedSample,
+    "q65_sql_sample" -> OracleSql.q63StratifiedSample
   )
 }

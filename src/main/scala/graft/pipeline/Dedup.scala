@@ -141,7 +141,7 @@ object Dedup {
   }
 
   /** SplitMix64 (public domain). */
-  @inline private[pipeline] def mix(z0: Long): Long = {
+  @inline private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

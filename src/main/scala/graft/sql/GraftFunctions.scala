@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for the codec kernels: native Catalyst expressions (not
@@ -92,6 +92,17 @@ object GraftFunctions {
     if (pos.isEmpty) null
     else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pos.map(_.toLong))
   }
+
+  /** Deterministic sampling residue — the SQL surface of
+    * [[graft.pipeline.Sampling.stratifiedSample]]'s pure row draw:
+    * `(splitmix64(key + salt) & Long.MaxValue) % den`. Null for a
+    * non-positive denominator (the SQL analogue of the Scala API's loud
+    * require). Keep-1-in-den sampling is `WHERE graft_sample_residue(key,
+    * salt, den) < num`; stratified rates come from a CASE over den.
+    */
+  def sampleResidue(key: Long, salt: Long, den: Long): java.lang.Long =
+    if (den <= 0) null
+    else java.lang.Long.valueOf((graft.pipeline.Dedup.mix(key + salt) & Long.MaxValue) % den)
 
   abstract class GraftUnary extends UnaryExpression with Serializable {
     protected def staticCall: String
@@ -214,6 +225,33 @@ object GraftFunctions {
       copy(left = l, right = r)
   }
 
+  case class GraftSampleResidue(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with Serializable {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // den <= 0 -> null
+    private def intish(dt: DataType) = dt == LongType || dt == IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(first, second, third).forall(c => intish(c.dataType)))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "graft_sample_residue expects (bigint, bigint, bigint), got (" +
+          s"${first.dataType}, ${second.dataType}, ${third.dataType})")
+    override protected def nullSafeEval(k: Any, s: Any, d: Any): Any =
+      sampleResidue(k.asInstanceOf[Number].longValue(),
+        s.asInstanceOf[Number].longValue(), d.asInstanceOf[Number].longValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (k, s, d) => {
+        val tmp = ctx.freshName("sres")
+        s"""
+           |java.lang.Long $tmp = graft.sql.GraftFunctions.sampleResidue((long)$k, (long)$s, (long)$d);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_encode" -> (args => GraftEncode(args.head)),
     "graft_decode" -> (args => GraftDecode(args.head)),
@@ -222,7 +260,8 @@ object GraftFunctions {
     "graft_fm_count" -> (args => GraftFmCount(args(0), args(1))),
     "graft_fm_locate" -> (args => GraftFmLocate(args(0), args(1))),
     "graft_decode_column" -> (args => GraftDecodeColumn(args.head)),
-    "graft_decode_column_binary" -> (args => GraftDecodeColumnBinary(args.head))
+    "graft_decode_column_binary" -> (args => GraftDecodeColumnBinary(args.head)),
+    "graft_sample_residue" -> (args => GraftSampleResidue(args(0), args(1), args(2)))
   )
 
   /** Programmatic registration (idempotent) for sessions we don't build

@@ -205,6 +205,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(pGot == pApi && pGot.nonEmpty, s"prefix twin diverged (${pGot.size} vs ${pApi.size})")
   }
 
+  test("graft_sample_residue matches the Sampling draw; bad denominator is NULL; ints widen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (0L until 200L).toDF("k").createOrReplaceTempView("t_samp")
+    val rows = spark.sql(
+      """SELECT k, graft_sample_residue(k, 1L, 4L) AS u,
+        |       graft_sample_residue(k, 1, 4) AS u_int,
+        |       graft_sample_residue(k, 0L, 0L) AS u_bad
+        |FROM t_samp""".stripMargin).collect()
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expected = (graft.pipeline.Dedup.mix(k + 1) & Long.MaxValue) % 4
+      assert(r.getLong(1) == expected, s"k=$k")
+      assert(r.getLong(2) == expected, "integer literals must widen to long")
+      assert(r.isNullAt(3), "den <= 0 must be NULL, not an exception")
+    }
+    // the draw actually samples (not all residues equal)
+    assert(rows.map(_.getLong(1)).distinct.length == 4)
+  }
+
   test("type checking rejects wrong input types") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {
