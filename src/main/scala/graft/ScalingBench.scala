@@ -71,8 +71,7 @@ object ScalingBench {
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var load = 100.0
     while (System.nanoTime() < deadline && {
-        load = java.nio.file.Files
-          .readString(java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0).toDouble
+        load = Bench.loadavg()
         load >= threshold
       }) Thread.sleep(5000)
   }

@@ -335,14 +335,23 @@ object EncodeJob {
           readLockUuid(fs, lock) match {
             case Some(u) => u == uuid
             case None =>
-              // our freshly-created file is unreadable after retries (a
-              // transient FS failure — nothing can LEGITIMATELY break a
-              // lease this young): a file with no reachable holder and no
-              // heartbeat would lock the table for the full staleness
-              // window, so remove it and retry the acquisition once
-              // instead of stranding it
-              try fs.delete(lock, false) catch { case _: java.io.IOException => () }
-              attempt == 0 && tryAcquire(attempt + 1)
+              // unreadable content: EITHER our own write was lost (the
+              // file is a stranded, never-heartbeated lock that would
+              // block the table for the whole staleness window) OR — on
+              // the local FS, where create(false) is check-then-create —
+              // a racing contender is mid-write over the same path.
+              // Distinguish by PERSISTENCE: any in-flight write settles
+              // in milliseconds, so pause and re-read; readable content
+              // then names the winner (deleting here would remove the
+              // contender's VALID lock and double-acquire the lease).
+              // Only a persistently unreadable file is stranded junk.
+              Thread.sleep(3000)
+              readLockUuid(fs, lock) match {
+                case Some(u) => u == uuid
+                case None =>
+                  try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+                  attempt == 0 && tryAcquire(attempt + 1)
+              }
           }
         } catch { case _: java.io.IOException => false }
       var acquired = tryAcquire()
@@ -914,17 +923,18 @@ object EncodeJob {
     // lowest and dropped from the rest.
     val storedHome: Map[String, Int] =
       pairs.groupBy(_._2).map { case (u, ps) => (u, ps.map(_._1).min) }
-    val bcHome = spark.sparkContext.broadcast(storedHome)
+    // columnar split on the tiny broadcast (url -> stored home) table:
+    // the delta rows stay Tungsten (html — most of the bytes — is never
+    // deserialized just to probe a url set)
+    val homeDf = broadcast(
+      spark.createDataset(storedHome.toSeq).toDF("url", "part_id"))
 
     // --- phase 1: encode the delta rows that replace stored urls into a
     // TEMP chunk table, ids tagged past UpsertDeltaChunkBase so the
     // rewrite below can tell replacement rows from stored ones
     val fs = chunksFs(spark, outDir)
-    val inAffected = deduped
-      .flatMap { p =>
-        bcHome.value.get(p.url).map(pid => (p.url, p.warc_ts, p.html, p.text, p.lang, pid))
-      }
-      .toDF("url", "warc_ts", "html", "text", "lang", "part_id")
+    val inAffected = deduped.join(homeDf, Seq("url"))
+      .select("url", "warc_ts", "html", "text", "lang", "part_id")
     val deltaTmp = chunksPath(outDir) + "_upsert_delta_tmp"
     val deltaTmpPath = new org.apache.hadoop.fs.Path(deltaTmp)
     if (fs.exists(deltaTmpPath)) fs.delete(deltaTmpPath, true) // stale crash junk
@@ -966,7 +976,8 @@ object EncodeJob {
 
     // --- phase 3: delta rows whose urls are stored NOWHERE are brand-new
     // — plain incremental append (absent -> present per url)
-    val rest = deduped.filter(p => !bcHome.value.contains(p.url))
+    val rest = deduped.join(homeDf.select("url"), Seq("url"), "left_anti")
+      .select("url", "warc_ts", "html", "text", "lang").as[Page]
     val restRecords =
       if (rest.isEmpty) Seq.empty
       else append(spark, rest, outDir, cfg).collect().toSeq
