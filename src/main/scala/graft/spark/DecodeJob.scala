@@ -78,6 +78,16 @@ object DecodeJob {
     */
   val MaxLookupUrls = 256
 
+  /** Urls per scan inside [[lookupUrls]]. The chunk predicate is an OR of
+    * one range test per url; past a couple hundred string literals the
+    * whole-stage-codegen'd filter method exceeds the JVM's 64 KB limit and
+    * Spark silently falls back to interpreted evaluation FOR THE WHOLE SCAN
+    * STAGE. Batching the urls keeps every scan codegen'd (and each batch's
+    * pushed row-group predicate tighter); the batches union below.
+    * 48 urls = ~150 comparisons per generated method — comfortable margin.
+    */
+  private val LookupUrlsPerScan = 48
+
   /** Point lookup: the pages for exactly these urls (absent urls simply
     * yield no row). Two-level pruning:
     *  - part_id is a pure function of (url, stored EncodeMeta), so each
@@ -107,15 +117,20 @@ object DecodeJob {
           .as[(String, Int)].collect().toMap
       case None => Map.empty // pre-meta table: range-only pruning
     }
-    val pred = urls.map { u =>
-      val range = col("url_min") <= u && col("url_max") >= u
-      pidByUrl.get(u) match {
-        case Some(pid) => col("part_id") === pid && range
-        case None => range
-      }
-    }.reduce(_ || _)
-    val urlSet = urls.toSet
-    decodeChunksWhere(spark, outDir, pred).filter(p => urlSet.contains(p.url))
+    // each batch filters by ITS OWN url subset: a chunk whose range covers
+    // urls from two batches is decoded by both scans, and a shared
+    // full-set filter would then emit those pages twice
+    urls.distinct.grouped(LookupUrlsPerScan).map { batch =>
+      val pred = batch.map { u =>
+        val range = col("url_min") <= u && col("url_max") >= u
+        pidByUrl.get(u) match {
+          case Some(pid) => col("part_id") === pid && range
+          case None => range
+        }
+      }.reduce(_ || _)
+      val batchSet = batch.toSet
+      decodeChunksWhere(spark, outDir, pred).filter(p => batchSet.contains(p.url))
+    }.reduce(_ union _)
   }
 
   /** All pages with `lo <= url < hiExclusive` (Catalyst UTF8String binary

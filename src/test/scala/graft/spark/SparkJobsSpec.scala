@@ -779,12 +779,24 @@ class SparkJobsSpec extends AnyFunSuite {
   test("lookupUrls rejects url sets beyond the point-read cap") {
     val out = tmpDir("lookup_cap")
     val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
-    EncodeJob.run(spark, PagesGen.generate(spark, 40, partitions = 2), out, cfg)
+    // 200 stored urls -> the hit-path lookup below spans multiple scan
+    // batches, and chunkRows=32 makes single chunks cover urls from two
+    // batches (the double-decode dedup edge)
+    EncodeJob.run(spark, PagesGen.generate(spark, 200, partitions = 2), out, cfg)
     val urls = (0 until DecodeJob.MaxLookupUrls + 1).map(i => s"https://h$i.example/")
     val ex = intercept[IllegalArgumentException](DecodeJob.lookupUrls(spark, out, urls))
     assert(ex.getMessage.contains("decodeUrlRange"))
-    // at the cap it still works
-    assert(DecodeJob.lookupUrls(spark, out, urls.take(DecodeJob.MaxLookupUrls)).count() == 0)
+    // at the cap it still works — and stays whole-stage-codegen'd: with
+    // fallback disabled, a single 256-url OR predicate would blow the JVM's
+    // 64 KB generated-method limit and THROW here; the batched scans must not
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(DecodeJob.lookupUrls(spark, out, urls.take(DecodeJob.MaxLookupUrls)).count() == 0)
+      // hit path too (stored urls), not just the empty result
+      val stored = DecodeJob.run(spark, out).select("url").limit(200)
+        .collect().map(_.getString(0)).toSeq
+      assert(DecodeJob.lookupUrls(spark, out, stored).count() == stored.distinct.size)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("an uncommitted _meta dir reads as absent and is rewritten, not wedged") {
