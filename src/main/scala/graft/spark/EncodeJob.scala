@@ -1068,14 +1068,20 @@ object EncodeJob {
 
     val bias = cfg.bwtBias
     val forceReencode = reencode
-    val drop = dropUrls // capture the set, not `this`
+    // ship the url set as an explicit torrent broadcast, not a closure
+    // capture: a delete-batch-sized set (<= MaxDeleteUrls = 100k urls)
+    // closure-captured here inflates the TASK BINARY to tens of MB, which
+    // the scheduler re-broadcasts on every stage (re)submission and warns
+    // about; a broadcast variable ships once per executor and is reused
+    val bcDrop = spark.sparkContext.broadcast(dropUrls)
+    val hasDrop = dropUrls.nonEmpty // driver-side fact, avoids .value.isEmpty per chunk
     val pre = chunkRowsDf.as[EncodedChunk].mapPartitions { it =>
       it.flatMap { c =>
         val rows = compactPreRows(c, bias, forceReencode)
         // delta chunks carry the REPLACEMENT rows of the very urls being
         // dropped from the stored generation — never filter those
-        if (drop.isEmpty || c.chunk_id >= UpsertDeltaChunkBase) rows
-        else rows.filterNot(r => drop.contains(r._1))
+        if (!hasDrop || c.chunk_id >= UpsertDeltaChunkBase) rows
+        else rows.filterNot(r => bcDrop.value.contains(r._1))
       }
     }
     pre.toDF()
