@@ -198,10 +198,10 @@ object Bench {
   private val CleanLineSf01: Map[String, Double] = Map(
     "encode_pages" -> 3.361, "decode_pages" -> 1.654, "text_encode_docs" -> 0.363,
     "fm_search" -> 0.579, "fm_index_build" -> 0.618, "fm_search_indexed" -> 0.319,
-    "dedup_minhash" -> 2.889, "ann_brute" -> 0.420,
+    "dedup_minhash" -> 1.818, "ann_brute" -> 0.420,
     // round-6 query, post rolling-hash/one-exchange rework (loadavg-0.1
     // end-of-round window; job-overhead-dominated at sf0.1's 3.5 MB)
-    "dedup_spans" -> 1.164)
+    "dedup_spans" -> 1.124)
 
   /** 1-minute loadavg — emitted with every snapshot so a drift window
     * (the VM's post-run reclaim kworkers, a concurrent build) identifies
