@@ -767,6 +767,29 @@ object EncodeJob {
       meta: Option[EncodeMeta]
   ): Seq[(Int, String)] = {
     import spark.implicits._
+    val (covering, targets) = presenceScan(spark, outDir, distinctUrls, meta)
+    val stored = covering.select($"part_id", $"payload").as[(Int, Array[Byte])]
+      .flatMap { case (pid, p) =>
+        ColumnCodec.decodeBinary(p).iterator.map(b => (pid, new String(b, UTF_8)))
+      }.toDF("part_id", "url")
+    stored.join(targets,
+        stored("url") === $"d_url" && ($"d_part".isNull || stored("part_id") === $"d_part"),
+        "left_semi")
+      .select($"part_id", $"url").distinct().as[(Int, String)].collect().toSeq.sorted
+  }
+
+  /** The range-covering chunk rows (url payload leaf only) for a presence
+    * check, plus the `(d_url, d_part)` targets they were joined against.
+    * `private[graft]` so the join-strategy contract below is pinnable by a
+    * plan-shape spec without executing a delete.
+    */
+  private[graft] def presenceScan(
+      spark: SparkSession,
+      outDir: String,
+      distinctUrls: Seq[String],
+      meta: Option[EncodeMeta]
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
     val (targets, homePids) = meta match {
       case Some(m) =>
         val homeCfg = EncodeConfig(numPartitions = m.numPartitions, saltFactor = m.saltFactor)
@@ -781,22 +804,24 @@ object EncodeJob {
         (distinctUrls.toDF("url")
           .select($"url".as("d_url"), lit(null).cast("int").as("d_part")), None)
     }
-    val pidMatch = $"d_part".isNull || col("part_id") === $"d_part"
     val urlChunks = {
       val scan = spark.read.parquet(chunksPath(outDir))
       homePids.fold(scan)(ps => scan.filter($"part_id".isin(ps: _*)))
     }.select($"part_id", $"url_min", $"url_max", $"url.payload".as("payload"))
-    val covering = urlChunks.join(targets,
-        pidMatch && $"d_url" >= $"url_min" && $"d_url" <= $"url_max",
-        "left_semi")
-    val stored = covering.select($"part_id", $"payload").as[(Int, Array[Byte])]
-      .flatMap { case (pid, p) =>
-        ColumnCodec.decodeBinary(p).iterator.map(b => (pid, new String(b, UTF_8)))
-      }.toDF("part_id", "url")
-    stored.join(targets,
-        stored("url") === $"d_url" && ($"d_part".isNull || stored("part_id") === $"d_part"),
-        "left_semi")
-      .select($"part_id", $"url").distinct().as[(Int, String)].collect().toSeq.sorted
+    // meta known -> every target has its home pid, so part_id is a plain
+    // EQUI key and the range test a residual: Catalyst plans a (broadcast)
+    // hash join where each chunk row scans only ITS partition's urls —
+    // O(urls/P) per chunk. Folding the two cases into one predicate via
+    // `d_part.isNull || part_id === d_part` blocks equi-key extraction and
+    // forces a nested-loop join: O(all urls) per chunk, a P-fold loss at
+    // delete-batch scale. The null-d_part form survives only for pre-meta
+    // legacy tables, where range-only pruning is all there is.
+    val range = $"d_url" >= $"url_min" && $"d_url" <= $"url_max"
+    val covering =
+      if (homePids.isDefined)
+        urlChunks.join(targets, col("part_id") === $"d_part" && range, "left_semi")
+      else urlChunks.join(targets, range, "left_semi")
+    (covering, targets)
   }
 
   /** Distinct-url ceiling for one [[upsert]] call. Above [[MaxDeleteUrls]]

@@ -776,6 +776,28 @@ class SparkJobsSpec extends AnyFunSuite {
     assert(again.filterNot(t => recrawl.exists(_.url == t._1)) == keptExpect)
   }
 
+  test("presence check joins on the part_id equi-key (hash join, not nested-loop)") {
+    val out = tmpDir("presence_plan")
+    val cfg = EncodeConfig(numPartitions = 3, chunkRows = 32)
+    EncodeJob.run(spark, PagesGen.generate(spark, 120, partitions = 3), out, cfg)
+    val urls = DecodeJob.run(spark, out).select("url").limit(30)
+      .collect().map(_.getString(0)).toSeq
+    val meta = EncodeJob.readMeta(spark, out)
+    assert(meta.isDefined)
+    // with stored meta every target carries its home pid: part_id must be
+    // extracted as an EQUI key (each chunk row probes only its partition's
+    // urls — O(urls/P)); a nested-loop join here scans the WHOLE url set
+    // per chunk row, a P-fold loss at delete-batch scale
+    val (covering, _) = EncodeJob.presenceScan(spark, out, urls, meta)
+    val plan = covering.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on part_id, got:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"presence check degraded to nested-loop:\n$plan")
+    // pre-meta fallback keeps working (range-only: nested-loop is all there is)
+    val (coveringNoMeta, _) = EncodeJob.presenceScan(spark, out, urls, None)
+    assert(coveringNoMeta.count() > 0)
+  }
+
   test("lookupUrls rejects url sets beyond the point-read cap") {
     val out = tmpDir("lookup_cap")
     val cfg = EncodeConfig(numPartitions = 2, chunkRows = 32)
