@@ -811,11 +811,16 @@ object EncodeJob {
     // meta known -> every target has its home pid, so part_id is a plain
     // EQUI key and the range test a residual: Catalyst plans a (broadcast)
     // hash join where each chunk row scans only ITS partition's urls —
-    // O(urls/P) per chunk. Folding the two cases into one predicate via
-    // `d_part.isNull || part_id === d_part` blocks equi-key extraction and
-    // forces a nested-loop join: O(all urls) per chunk, a P-fold loss at
-    // delete-batch scale. The null-d_part form survives only for pre-meta
-    // legacy tables, where range-only pruning is all there is.
+    // O(urls/P) per chunk, vs O(all urls) under a nested-loop join. The
+    // previous folded form (`d_part.isNull || part_id === d_part`) got the
+    // SAME hash join, but only because d_part's non-nullable Int schema
+    // let Catalyst constant-fold the isNull — a schema-incidental
+    // property (any target construction that makes d_part nullable would
+    // silently degrade the join to nested-loop). The explicit split makes
+    // the equi-key contract visible, spec-pinned, and independent of
+    // nullability inference; the range-only form survives solely for
+    // pre-meta legacy tables (PresenceAb measured the two shapes at plan
+    // parity on meta tables, as expected for identical physical plans).
     val range = $"d_url" >= $"url_min" && $"d_url" <= $"url_max"
     val covering =
       if (homePids.isDefined)
