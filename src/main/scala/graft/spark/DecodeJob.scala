@@ -58,13 +58,27 @@ object DecodeJob {
       outDir: String,
       chunkPred: Column
   ): Dataset[Page] = {
-    import spark.implicits._
     EncodeJob.requireNoPendingSwap(spark, outDir)
     // a fully-deleted table has a chunks dir with no data files: that is
     // an empty table, not an error (scanning it would fail schema
     // inference)
     if (!EncodeJob.hasCommittedChunks(spark, outDir))
       return spark.emptyDataset(org.apache.spark.sql.Encoders.product[Page])
+    decodeChunksWhereUnchecked(spark, outDir, chunkPred)
+  }
+
+  /** [[decodeChunksWhere]] minus the pending-swap / committed-file gates —
+    * for callers that issue SEVERAL scans of one table in one call (the
+    * batched [[lookupUrls]]) and have already run the gates once: the
+    * gates are driver-side remote-FS calls, and re-running them per batch
+    * multiplies that listing cost for no added safety within one read.
+    */
+  private def decodeChunksWhereUnchecked(
+      spark: SparkSession,
+      outDir: String,
+      chunkPred: Column
+  ): Dataset[Page] = {
+    import spark.implicits._
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
       .as[EncodedChunk]
@@ -117,6 +131,10 @@ object DecodeJob {
           .as[(String, Int)].collect().toMap
       case None => Map.empty // pre-meta table: range-only pruning
     }
+    // table-level gates once, not once per batch scan
+    EncodeJob.requireNoPendingSwap(spark, outDir)
+    if (!EncodeJob.hasCommittedChunks(spark, outDir))
+      return spark.emptyDataset(org.apache.spark.sql.Encoders.product[Page])
     // each batch filters by ITS OWN url subset: a chunk whose range covers
     // urls from two batches is decoded by both scans, and a shared
     // full-set filter would then emit those pages twice
@@ -129,7 +147,7 @@ object DecodeJob {
         }
       }.reduce(_ || _)
       val batchSet = batch.toSet
-      decodeChunksWhere(spark, outDir, pred).filter(p => batchSet.contains(p.url))
+      decodeChunksWhereUnchecked(spark, outDir, pred).filter(p => batchSet.contains(p.url))
     }.reduce(_ union _)
   }
 
