@@ -6,18 +6,22 @@ package graft.tools
   * measures both the batching overhead and what the interpreted fallback
   * actually costs at point-read scale.
   *
-  * Usage: runMain graft.tools.LookupAb [nPages] [nUrls]
+  * Usage: runMain graft.tools.LookupAb [nPages] [nUrls] [chunkRows]
+  * (chunkRows substantiates the README knob: smaller chunks = less decode
+  * per point read, at some compression-ratio cost — both printed)
   */
 object LookupAb {
   def main(args: Array[String]): Unit = {
     val nPages = if (args.nonEmpty) args(0).toInt else 640000
     val nUrls = if (args.length > 1) args(1).toInt else 256
+    val chunkRows = if (args.length > 2) args(2).toInt else 1024
     val spark = graft.Bench.newSession("32")
 
     val out = "/dev/shm/graft_bench/lookup_ab"
     graft.Bench.deleteDir(out)
     val pages = graft.spark.PagesGen.generate(spark, nPages, hostSkew = true, partitions = 32)
-    graft.spark.EncodeJob.run(spark, pages, out, graft.spark.EncodeConfig(numPartitions = 32))
+    graft.spark.EncodeJob.run(spark, pages, out,
+      graft.spark.EncodeConfig(numPartitions = 32, chunkRows = chunkRows))
     val urls = (0 until nUrls).map(i =>
       graft.spark.PagesGen.page(42L, (i * 7 % nPages).toLong, 100, hostSkew = true).url).distinct
 
@@ -34,8 +38,12 @@ object LookupAb {
     val (cOld, tOld) = time(lookupCount())
     graft.spark.DecodeJob.lookupUrlsPerScanForTest = None
     require(cNew == cOld, s"shapes disagree: batched=$cNew single=$cOld")
-    println(f"LOOKUP_AB pages=$nPages urls=${urls.size} hits=$cNew " +
-      f"batched=${tNew}%.3fs single_scan_fallback=${tOld}%.3fs ratio=${tOld / tNew}%.2fx")
+    val lin = spark.read.parquet(s"$out/_lineage")
+      .selectExpr("sum(bytes_in) as bi", "sum(bytes_out) as bo").collect()(0)
+    val storedRatio = lin.getLong(1).toDouble / lin.getLong(0)
+    println(f"LOOKUP_AB pages=$nPages urls=${urls.size} chunkRows=$chunkRows hits=$cNew " +
+      f"batched=${tNew}%.3fs single_scan_fallback=${tOld}%.3fs ratio=${tOld / tNew}%.2fx " +
+      f"stored_ratio=${storedRatio}%.4f")
     spark.stop()
   }
 }
