@@ -56,9 +56,16 @@ class LifecyclePropertySpec extends AnyFunSuite {
     delta.groupBy(_.url).valuesIterator.map(_.maxBy(_.warc_ts.getTime)).toSeq
 
   test("random verb walk matches the in-memory model after every step") {
-    val seed = 20260817L
+    walk(20260817L)
+  }
+
+  test("random verb walk, second seed (different verb interleaving)") {
+    walk(77L)
+  }
+
+  private def walk(seed: Long): Unit = {
     val rnd = new scala.util.Random(seed)
-    val out = tmpDir("lifecycle_walk")
+    val out = tmpDir(s"lifecycle_walk_$seed")
     val cfg = EncodeConfig(numPartitions = 3, chunkRows = 32)
     val pages = universe(360)
     var nextFresh = 0 // universe cursor: pages not yet offered to the table
