@@ -1464,6 +1464,13 @@ object EncodeJob {
     }
   }
 
+  /** Plan-dump seam: the encode dataflow as a DataFrame (no lineage side
+    * effects, nothing written) — lets tools dump the encode plan that
+    * [[run]] executes without running a write.
+    */
+  private[graft] def encodeChunkStreamForPlan(pages: DataFrame, cfg: EncodeConfig): DataFrame =
+    encodeChunkStream(pages.withColumn("part_id", partIdCol(cfg)), cfg, _ => ()).toDF()
+
   /** The shared exchange + kernel pipeline of [[run]] and [[append]]:
     * pages-with-part_id rows in, EncodedChunk stream out (chunk ids start
     * at 0 per part; [[append]] shifts them afterwards).
