@@ -79,39 +79,49 @@ object Dedup {
     import spark.implicits._
     val mb = maxBucket.toLong
 
-    // the banding flatMap runs ONCE: every later stage reads this persisted
-    // table, not a re-derivation from the signature table (at corpus scale
-    // each extra pass was a full signature-table read)
-    val banded = autoPersist(banded0.as[(Int, Long, Long)]).toDF("band", "bucket", "id")
-    val sizes = banded.groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("n"))
+    // ONE exchange annotates every member with its bucket size via a
+    // window count (replaces the former groupBy-sizes + rejoin: two
+    // exchange subtrees and a SortMergeJoin); singleton buckets drop
+    // before anything else reads the rows. Scale note: WindowExec holds
+    // the current (band, bucket) group in a SPILL-BACKED row buffer
+    // (memory-bounded by spark.sql.windowExec.buffer.*, overflow to
+    // disk), so a degenerate bucket still never sits in an in-memory
+    // aggregation buffer; its disk footprint is the same rows the old
+    // join's shuffle already wrote.
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")
+    // salt as a deterministic scalar UDF, NOT a typed map: a typed map
+    // would sever the attribute lineage and force the (band, bucket,
+    // salt) window below to re-exchange; as a Project the planner sees
+    // hash(band, bucket) already clusters every refined key (subset
+    // rule), so the second window and the groupBy need only a sort.
+    // (Splitmix64 as raw Catalyst arithmetic is not an option: 64-bit
+    // wrapping multiplies throw under ANSI mode.)
+    val saltUdf = udf((id: Long, band: Int, n: Long) =>
+      subBucketSalt(id, band, (n + mb - 1) / mb))
+    val wSub = org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket", $"salt")
+    // persisted once: the drop-report action and the pair explode both
+    // read these rows, and the window chain (two in-partition sorts over
+    // every banded row) must not run twice
+    val bandedN = autoPersist(banded0
+      .withColumn("n", count(lit(1)).over(wBucket))
+      .filter($"n" >= 2)
+      .withColumn("salt",
+        when($"n" <= mb, lit(0L)).otherwise(saltUdf($"id", $"band", $"n")))
+      .withColumn("m", count(lit(1)).over(wSub))
+      .as[(Int, Long, Long, Long, Long, Long)]
+    ).toDF("band", "bucket", "id", "n", "salt", "m")
+      .select($"band", $"bucket", $"salt", $"id", $"n", $"m")
 
-    // one pass annotates every member with its bucket size and sub-bucket
-    // salt (0 for in-cap buckets; band-dependent split salt for oversized
-    // ones) — the former keep-join and split-join folded into one join
-    val bandedN = autoPersist(
-      banded.join(sizes.filter($"n" >= 2), Seq("band", "bucket"))
-        .select($"band", $"bucket", $"id", $"n").as[(Int, Long, Long, Long)]
-        .map { case (band, bucket, id, n) =>
-          val salt = if (n <= mb) 0L else subBucketSalt(id, band, (n + mb - 1) / mb)
-          (band, bucket, salt, id, n)
-        }
-    ).toDF("band", "bucket", "salt", "id", "n")
-
-    val subSizes = autoPersist(
-      bandedN.groupBy($"band", $"bucket", $"salt")
-        .agg(count(lit(1)).as("m"), max($"n").as("n"))
-        .as[(Int, Long, Long, Long, Long)]
-    ).toDF("band", "bucket", "salt", "m", "n")
-
-    // split + drop statistics in ONE action (the former two serialized
-    // head()s): sub-bucket sizes of an oversized bucket sum back to n
-    val (splitBuckets, splitRows, droppedBuckets, droppedRows) = subSizes.agg(
-      coalesce(countDistinct(when($"n" > mb, struct($"band", $"bucket"))), lit(0L)),
-      coalesce(sum(when($"n" > mb, $"m")), lit(0L)),
-      coalesce(count(when($"n" > mb && $"m" > 2 * mb, lit(1))), lit(0L)),
-      coalesce(sum(when($"n" > mb && $"m" > 2 * mb, $"m")), lit(0L))
-    ).as[(Long, Long, Long, Long)].head()
+    // split + drop statistics in ONE action, computed from member rows
+    // (each member of an oversized bucket contributes exactly once, so
+    // row counts equal the old sum-of-sub-bucket-sizes forms)
+    val (splitBuckets, splitRows, droppedBuckets, droppedRows) =
+      bandedN.filter($"n" > mb).agg(
+        coalesce(countDistinct(struct($"band", $"bucket")), lit(0L)),
+        count(lit(1)),
+        coalesce(countDistinct(when($"m" > 2 * mb, struct($"band", $"bucket", $"salt"))), lit(0L)),
+        coalesce(sum(when($"m" > 2 * mb, lit(1L))), lit(0L))
+      ).as[(Long, Long, Long, Long)].head()
 
     val report = DropReport(droppedBuckets, droppedRows, splitBuckets, splitRows)
     if (report.splitBuckets > 0)
@@ -125,12 +135,10 @@ object Dedup {
 
     // size gate BEFORE any member list is collected: only sub-buckets with
     // 2..2*maxBucket members (or whole in-cap buckets) reach collect_list.
-    // The join key equals the groupBy key, so no extra exchange appears
-    // between them.
-    val keepSub = subSizes
-      .filter($"m" >= 2 && ($"n" <= mb || $"m" <= 2 * mb))
-      .select($"band", $"bucket", $"salt")
-    bandedN.join(keepSub, Seq("band", "bucket", "salt"))
+    // Every member row carries its own (n, m), so the former keep-join is
+    // now a plain row filter — no exchange at all between the gate and
+    // the (same-keyed) groupBy.
+    bandedN.filter($"m" >= 2 && ($"n" <= mb || $"m" <= 2 * mb))
       .groupBy($"band", $"bucket", $"salt")
       .agg(sort_array(collect_list($"id")).as("ids"))
       .select(explode(expr(
@@ -138,6 +146,18 @@ object Dedup {
       )).as("p"))
       .select($"p.a".as("id_a"), $"p.b".as("id_b"))
       .distinct()
+  }
+
+  /** Scale-adaptive parallelism floor for the per-doc kernel stages
+    * (guide §2: derive partitioning from the input instead of tuning a
+    * constant): a corpus-scale scan already has >= defaultParallelism
+    * splits and passes through untouched; a sub-parallelism input (a
+    * single small parquet file — every core but one would idle through
+    * the signature/banding compute) is spread once, round-robin.
+    */
+  private[graft] def spread[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
 
   /** SplitMix64 (public domain). */
@@ -215,7 +235,7 @@ object Dedup {
     import spark.implicits._
     val perBand = NumHashes / Bands
 
-    val sigs = autoPersist(docs.map { case (id, text) => (id, minHashSignature(text)) })
+    val sigs = autoPersist(spread(docs).map { case (id, text) => (id, minHashSignature(text)) })
       .toDF("id", "sig")
 
     val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
@@ -291,7 +311,7 @@ object Dedup {
       s"maxHamming=$maxHamming: bands of >= 2 bits need maxHamming < 32")
     import spark.implicits._
     val bands = maxHamming + 1
-    val hashed = autoPersist(docs.map { case (id, t) => (id, simHash(t)) }).toDF("id", "h")
+    val hashed = autoPersist(spread(docs).map { case (id, t) => (id, simHash(t)) }).toDF("id", "h")
     val banded = hashed.as[(Long, Long)].flatMap { case (id, h) =>
       (0 until bands).iterator.map { b =>
         val start = b * 64 / bands
@@ -318,7 +338,7 @@ object Dedup {
       n: Int = 3
   ): DataFrame = {
     import spark.implicits._
-    val grams = docs.map { case (id, t) =>
+    val grams = spread(docs).map { case (id, t) =>
       val toks = t.split(' ')
       val set = (0 to math.max(toks.length - n, 0)).map { i =>
         // full-width 64-bit content hash (FNV-1a over the gram bytes), NOT
@@ -487,7 +507,7 @@ object Dedup {
       k: Int = 8
   ): DataFrame = {
     import spark.implicits._
-    val windows = docs.flatMap { case (id, t) =>
+    val windows = spread(docs).flatMap { case (id, t) =>
       val hs = windowHashes(t, k)
       Iterator.range(0, hs.length).map(i => (hs(i), id, i))
     }
@@ -497,10 +517,16 @@ object Dedup {
         if (!it.hasNext) Iterator.empty
         else (Iterator.single(first) ++ it).map(w => (w._2, w._3))
       }
-      .groupByKey(_._1)
-      .mapGroups { (id, rows) =>
-        val starts = rows.map(_._2).toArray
-        java.util.Arrays.sort(starts)
+      // per-doc interval-union fold: the duplicated-position lists are
+      // doc-length-bounded, so a Tungsten collect_list + sort_array stays
+      // codegen'd through the exchange (the former typed groupByKey +
+      // in-kernel sort deserialized every row to a tuple first); the fold
+      // itself is one typed map over the sorted array
+      .toDF("id", "pos")
+      .groupBy($"id")
+      .agg(sort_array(collect_list($"pos")).as("ps"))
+      .as[(Long, Array[Int])]
+      .map { case (id, starts) =>
         var dupTokens = 0L
         var covEnd = 0 // exclusive end of covered-so-far interval union
         var j = 0

@@ -557,7 +557,10 @@ object EncodeJob {
     // distinct: stage retries can double-add; records are deterministic
     val records = acc.value.asScala.toSeq.distinct
     if (records.nonEmpty) {
-      spark.createDataset(records)
+      // coalesce(1): O(partitions) tiny rows — one task, one file (the
+      // default-parallelism write paid a 32-task job + a 32-file lineage
+      // dir that every later lineage read re-listed)
+      spark.createDataset(records).coalesce(1)
         .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     }
     // return THIS run's records; the full table lives at lineagePath
@@ -1111,12 +1114,14 @@ object EncodeJob {
         // delta chunks carry the REPLACEMENT rows of the very urls being
         // dropped from the stored generation — never filter those
         if (!hasDrop || c.chunk_id >= UpsertDeltaChunkBase) rows
-        else rows.filterNot(r => bcDrop.value.contains(r._1))
+        else rows.filterNot(r => bcDrop.value.contains(new String(r._1, UTF_8)))
       }
     }
     pre.toDF()
-      .sortWithinPartitions($"_6", $"_1") // narrow: no exchange, spillable
-      .as[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)]
+      // narrow: no exchange, spillable. BinaryType sorts in unsigned byte
+      // order = the UTF8String order the old String column sorted in
+      .sortWithinPartitions($"_6", $"_1")
+      .as[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte], Int)]
       .mapPartitions(it => encodePreEncodedSorted(it, cfg.chunkRows, _ => (), bias))
   }
 
@@ -1413,7 +1418,8 @@ object EncodeJob {
     val newLineage = folded ++ records
     if (newLineage.nonEmpty) {
       if (lfs.exists(tp)) lfs.delete(tp, true)
-      spark.createDataset(newLineage).write.mode(SaveMode.Overwrite).parquet(tmpPath)
+      spark.createDataset(newLineage).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmpPath)
       lfs.delete(lp, true)
       lfs.rename(tp, lp)
     } else if (lfs.exists(lp)) {
@@ -1434,7 +1440,7 @@ object EncodeJob {
       c: EncodedChunk,
       bias: Double,
       reencode: Boolean
-  ): Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)] = {
+  ): Iterator[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte], Int)] = {
     val urls = ColumnCodec.decodeBinary(c.url.payload)
     val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
     val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
@@ -1456,11 +1462,10 @@ object EncodeJob {
     }
     val htmlPre = preCol(c.html)
     val textPre = preCol(c.text)
+    // stored bytes/micros feed the kernel directly — the former
+    // String/Timestamp round-trip existed only to match the old row shape
     urls.indices.iterator.map { i =>
-      val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
-      (new String(urls(i), UTF_8), ts, htmlPre(i), textPre(i),
-        if (langs(i) == null) null else new String(langs(i), UTF_8), c.part_id)
+      (urls(i), tss(i), htmlPre(i), textPre(i), langs(i), c.part_id)
     }
   }
 
@@ -1491,14 +1496,22 @@ object EncodeJob {
         }
     } else {
       // narrow pre-encode of the two heavy columns BEFORE the exchange;
-      // each value becomes varint(rawLen) ++ textEncode(bytes)
+      // each value becomes varint(rawLen) ++ textEncode(bytes). The scan
+      // hands the kernel RAW UTF-8 bytes and epoch-micros (cast/
+      // unix_micros are codegen'd): the former String/Timestamp row shape
+      // paid a UTF-16 decode + re-encode per text/url/lang value and a
+      // Timestamp object per row, all garbage by the next operator —
+      // cast("binary") of a parquet string column is exactly its UTF-8
+      // bytes, so the kernel input (and every payload byte) is unchanged.
       val bias = cfg.bwtBias
       val pre = todo
-        .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+        .select(col("url").cast("binary"), unix_micros(col("warc_ts")),
+          col("html"), col("text").cast("binary"), col("lang").cast("binary"),
+          col("part_id"))
+        .as[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte], Int)]
         .mapPartitions { it =>
           it.map { case (url, ts, html, text, lang, pid) =>
-            (url, ts, preEncodeValue(html, bias),
-              preEncodeValue(if (text == null) null else text.getBytes(UTF_8), bias),
+            (url, ts, preEncodeValue(html, bias), preEncodeValue(text, bias),
               lang, pid)
           }
         }
@@ -1629,7 +1642,7 @@ object EncodeJob {
     import scala.jdk.CollectionConverters._
     val records = acc.value.asScala.toSeq.distinct
     if (records.nonEmpty) {
-      spark.createDataset(records)
+      spark.createDataset(records).coalesce(1)
         .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     }
     spark.createDataset(records)
@@ -1669,7 +1682,10 @@ object EncodeJob {
     buf.toArray
   }
 
-  private type PreRow = (String, java.sql.Timestamp, Array[Byte], Array[Byte], String)
+  // (url utf-8 bytes, warc_ts epoch micros, html pre-encoded, text
+  // pre-encoded, lang utf-8 bytes) — raw bytes end to end; Strings exist
+  // only in the per-chunk url_min/url_max metadata
+  private type PreRow = (Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte])
 
   /** Container in BwtBin layout over pre-encoded values (+ null bitmap +
     * Huffman wrap when they pay for themselves); one column of a chunk.
@@ -1742,13 +1758,11 @@ object EncodeJob {
       bwtBias: Double
   ): EncodedChunk = {
     val urls = chunk.map { r =>
-      require(r._1 != null && r._2 != null, "null url/warc_ts")
-      r._1.getBytes(UTF_8)
+      require(r._1 != null, "null url/warc_ts")
+      r._1
     }.toArray
-    val tss = chunk.map { r =>
-      Math.floorDiv(r._2.getTime, 1000L) * 1000000L + r._2.getNanos / 1000L
-    }.toArray
-    val langs = chunk.map(r => if (r._5 == null) null else r._5.getBytes(UTF_8)).toArray
+    val tss = chunk.map(_._2).toArray
+    val langs = chunk.map(_._5).toArray
     def bin(values: Array[Array[Byte]]): ColChunk = {
       val payload = ColumnCodec.encodeBinaryNullable(values, bwtBias)
       ColChunk(ColumnCodec.codecName(payload),
@@ -1757,7 +1771,8 @@ object EncodeJob {
     }
     val tsPayload = ColumnCodec.encodeLong(tss)
     // chunk is a url-sorted slice, so its url range is (first, last)
-    EncodedChunk(pid, cid, chunk.length, chunk.head._1, chunk.last._1,
+    EncodedChunk(pid, cid, chunk.length,
+      new String(chunk.head._1, UTF_8), new String(chunk.last._1, UTF_8),
       url = bin(urls),
       warc_ts = ColChunk(ColumnCodec.codecName(tsPayload), tss.length * 8L,
         tsPayload.length.toLong, fnv1a(tsPayload), tsPayload),
@@ -1771,7 +1786,7 @@ object EncodeJob {
     * task memory scales with the partition.
     */
   private[spark] def encodePreEncodedPartition(
-      it: Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)],
+      it: Iterator[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte], Int)],
       chunkRows: Int,
       onPartDone: LineageRecord => Unit,
       bwtBias: Double
@@ -1783,7 +1798,10 @@ object EncodeJob {
         ((url, ts, html, text, lang))
     }
     byPart.iterator.flatMap { case (pid, rows0) =>
-      val rows = sortByUrlUtf8(rows0)(_._1)
+      // urls are already UTF-8 bytes: unsigned byte order directly (the
+      // same order Catalyst's BinaryType sort gives the streaming kernel)
+      val rows = rows0.sortInPlaceWith((x, y) =>
+        java.util.Arrays.compareUnsigned(x._1, y._1) < 0)
       val partChunks = rows.grouped(chunkRows).zipWithIndex.map { case (chunk, cid) =>
         preEncodedChunkRow(pid, cid, chunk, bwtBias)
       }.toVector
@@ -1810,7 +1828,7 @@ object EncodeJob {
     * buffering kernel (same sort key, same slicing).
     */
   private[spark] def encodePreEncodedSorted(
-      it: Iterator[(String, java.sql.Timestamp, Array[Byte], Array[Byte], String, Int)],
+      it: Iterator[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte], Int)],
       chunkRows: Int,
       onPartDone: LineageRecord => Unit,
       bwtBias: Double
