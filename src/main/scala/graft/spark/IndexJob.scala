@@ -32,7 +32,11 @@ object IndexJob {
       saSampleBits: Int = 5
   ): Unit = {
     import spark.implicits._
-    docs.mapPartitions { it =>
+    // parallelism floor (guide §2): a sub-parallelism input (one small
+    // parquet split) would build every SA on one core — and write a
+    // single-file index table that caps every later search scan at one
+    // task; corpus-scale inputs pass through untouched
+    graft.pipeline.Dedup.spread(docs).mapPartitions { it =>
       it.map { case (key, text) =>
         val raw = text.getBytes(UTF_8)
         val payload = FmIndex.build(raw).serialize(saSampleBits)

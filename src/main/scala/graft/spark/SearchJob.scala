@@ -62,7 +62,9 @@ object SearchJob {
   ): Dataset[SearchHit] = {
     import spark.implicits._
     val bcPatterns = spark.sparkContext.broadcast(patterns.map(p => (p, p.getBytes(UTF_8))))
-    docs.mapPartitions { it =>
+    // parallelism floor (guide §2): per-doc SA-IS on a one-split input
+    // would otherwise run on a single core; corpus-scale scans untouched
+    graft.pipeline.Dedup.spread(docs).mapPartitions { it =>
       val pats = bcPatterns.value
       it.flatMap { case (key, text) =>
         val fm = FmIndex.build(text.getBytes(UTF_8))
