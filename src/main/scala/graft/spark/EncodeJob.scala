@@ -79,7 +79,14 @@ final case class TableHealth(
 
 final case class EncodeConfig(
     numPartitions: Int = 32,
-    saltFactor: Int = 4, // spreads each url-host over this many partitions
+    // spreads each url-host over this many partitions. 16 (was 4): on
+    // host-skewed crawls one mega-host at salt 4 left the largest
+    // partition 24x the median (guide §2.5 calls >5-10x actionable),
+    // capping decode/compact concurrency at ~1/2; salt 16 measures
+    // 3.5x. The cost is range/prefix reads fanning over 16 instead of 4
+    // partition dirs per host — point lookups (exact home partition) are
+    // unaffected. Layout config, persisted in _meta like before.
+    saltFactor: Int = 16,
     chunkRows: Int = 1024, // codec unit; bounds kernel memory at any scale
     bwtBias: Double = 1.0, // text-codec policy: 1.0 size-optimal, <1 speed-biased
     // compress text/html per document BEFORE the exchange (default): the
