@@ -34,18 +34,25 @@ object DecodeJob {
   def run(spark: SparkSession, outDir: String): Dataset[Page] =
     decodeChunksWhere(spark, outDir, lit(true))
 
-  /** Decode one self-contained chunk row into its pages. */
-  private def decodeRow(c: EncodedChunk): Iterator[Page] = {
+  /** Decode one self-contained chunk row into raw page fields: UTF-8
+    * bytes and epoch micros. The String/Timestamp shape the public
+    * Dataset[Page] carries is applied by codegen'd cast/timestamp_micros
+    * in [[decodeChunksWhereUnchecked]] — binary-to-string is a UTF8String
+    * wrap, so a downstream SQL consumer (aggregations, filters, writes)
+    * never pays the UTF-16 decode + re-encode per value that building
+    * Page objects here cost; a typed consumer deserializes Page exactly
+    * as before.
+    */
+  private def decodeRowBytes(
+      c: EncodedChunk
+  ): Iterator[(Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte])] = {
     val urls = ColumnCodec.decodeBinary(c.url.payload)
     val tss = ColumnCodec.decodeLong(c.warc_ts.payload)
     val htmls = ColumnCodec.decodeBinaryNullable(c.html.payload)
     val texts = ColumnCodec.decodeBinaryNullable(c.text.payload)
     val langs = ColumnCodec.decodeBinaryNullable(c.lang.payload)
-    def ns(b: Array[Byte]): String = if (b == null) null else new String(b, UTF_8)
     urls.indices.iterator.map { i =>
-      val ts = new java.sql.Timestamp(Math.floorDiv(tss(i), 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(tss(i), 1000000L) * 1000L).toInt)
-      Page(new String(urls(i), UTF_8), ts, htmls(i), ns(texts(i)), ns(langs(i)))
+      (urls(i), tss(i), htmls(i), texts(i), langs(i))
     }
   }
 
@@ -82,7 +89,14 @@ object DecodeJob {
     spark.read.parquet(EncodeJob.chunksPath(outDir))
       .filter(chunkPred)
       .as[EncodedChunk]
-      .mapPartitions(_.flatMap(decodeRow))
+      .mapPartitions(_.flatMap(decodeRowBytes))
+      .toDF("u", "ts", "html", "t", "l")
+      .select(col("u").cast("string").as("url"),
+        timestamp_micros(col("ts")).as("warc_ts"),
+        col("html"),
+        col("t").cast("string").as("text"),
+        col("l").cast("string").as("lang"))
+      .as[Page]
   }
 
   /** Point-read fan-in cap for [[lookupUrls]]: its chunk predicate is an
